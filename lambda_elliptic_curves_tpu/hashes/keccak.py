@@ -1,0 +1,209 @@
+"""Keccak-256 (the Ethereum/Stone variant, 0x01 domain padding).
+
+Two paths, one algorithm:
+
+* **host**: exact pure-Python sponge for transcripts (Fiat–Shamir is a
+  sequential byte protocol; it belongs on the host — parity with the
+  reference's use of the ``sha3`` crate in
+  ``crypto/src/fiat_shamir/default_transcript.rs:9``).
+* **device**: batched keccak-f[1600] over ``(25, 2, *B)`` uint32 arrays
+  (each 64-bit lane split lo/hi, since TPUs have no 64-bit integers).  One
+  call hashes B independent messages — the engine behind Merkle tree
+  levels (``FieldElementBackend``/batch backends,
+  ``crypto/src/merkle_tree/backends/*``) and grinding searches.
+
+Keccak-f is pure bitwise logic, an excellent VPU workload: the full 24
+rounds compile to one fused elementwise loop over the batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+
+RATE_BYTES = 136  # keccak-256 rate (1088 bits)
+DIGEST_BYTES = 32
+
+_ROUND_CONSTANTS = (
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
+    0x8000000080008000, 0x000000000000808B, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008A,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+)
+
+# rotation offsets r[x][y] (standard Keccak rho table, indexed [x][y])
+_ROTATIONS = (
+    (0, 36, 3, 41, 18),
+    (1, 44, 10, 45, 2),
+    (62, 6, 43, 15, 61),
+    (28, 55, 25, 21, 56),
+    (27, 20, 39, 8, 14),
+)
+
+
+# ---------------------------------------------------------------------------
+# host path
+# ---------------------------------------------------------------------------
+
+def _rotl64(x: int, n: int) -> int:
+    n %= 64
+    return ((x << n) | (x >> (64 - n))) & 0xFFFFFFFFFFFFFFFF
+
+
+def _keccak_f_host(lanes):
+    """lanes: list of 25 ints (index x + 5*y)."""
+    for rc in _ROUND_CONSTANTS:
+        # theta
+        c = [lanes[x] ^ lanes[x + 5] ^ lanes[x + 10] ^ lanes[x + 15] ^ lanes[x + 20]
+             for x in range(5)]
+        d = [c[(x - 1) % 5] ^ _rotl64(c[(x + 1) % 5], 1) for x in range(5)]
+        lanes = [lanes[i] ^ d[i % 5] for i in range(25)]
+        # rho + pi
+        b = [0] * 25
+        for x in range(5):
+            for y in range(5):
+                b[y + 5 * ((2 * x + 3 * y) % 5)] = _rotl64(
+                    lanes[x + 5 * y], _ROTATIONS[x][y]
+                )
+        # chi
+        lanes = [
+            b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y])
+            for y in range(5) for x in range(5)
+        ]
+        # reorder comprehension produced index y-major; rebuild x + 5y order
+        lanes = [lanes[i] for i in range(25)]
+        # iota
+        lanes[0] ^= rc
+    return lanes
+
+
+def keccak256(data: bytes) -> bytes:
+    """Keccak-256 of a byte string (NOT sha3-256: pad byte is 0x01)."""
+    lanes = [0] * 25
+    # absorb
+    padded = bytearray(data)
+    padded.append(0x01)
+    while len(padded) % RATE_BYTES:
+        padded.append(0x00)
+    padded[-1] ^= 0x80
+    for block_start in range(0, len(padded), RATE_BYTES):
+        block = padded[block_start : block_start + RATE_BYTES]
+        for i in range(RATE_BYTES // 8):
+            lanes[i] ^= int.from_bytes(block[8 * i : 8 * i + 8], "little")
+        lanes = _keccak_f_host(lanes)
+    out = b"".join(lane.to_bytes(8, "little") for lane in lanes[:4])
+    return out[:DIGEST_BYTES]
+
+
+# ---------------------------------------------------------------------------
+# device path (batched)
+# ---------------------------------------------------------------------------
+
+def _rotl64_pair(lo, hi, n: int):
+    n %= 64
+    if n == 0:
+        return lo, hi
+    if n == 32:
+        return hi, lo
+    if n < 32:
+        return (
+            (lo << n) | (hi >> (32 - n)),
+            (hi << n) | (lo >> (32 - n)),
+        )
+    m = n - 32
+    return (
+        (hi << m) | (lo >> (32 - m)),
+        (lo << m) | (hi >> (32 - m)),
+    )
+
+
+def keccak_f(state):
+    """Batched keccak-f[1600]: state (25, 2, *B) uint32, [.,0]=lo, [.,1]=hi."""
+    lanes = [(state[i, 0], state[i, 1]) for i in range(25)]
+    for rc in _ROUND_CONSTANTS:
+        c = []
+        for x in range(5):
+            lo = lanes[x][0] ^ lanes[x + 5][0] ^ lanes[x + 10][0] ^ lanes[x + 15][0] ^ lanes[x + 20][0]
+            hi = lanes[x][1] ^ lanes[x + 5][1] ^ lanes[x + 10][1] ^ lanes[x + 15][1] ^ lanes[x + 20][1]
+            c.append((lo, hi))
+        d = []
+        for x in range(5):
+            rl, rh = _rotl64_pair(*c[(x + 1) % 5], 1)
+            d.append((c[(x - 1) % 5][0] ^ rl, c[(x - 1) % 5][1] ^ rh))
+        lanes = [(lanes[i][0] ^ d[i % 5][0], lanes[i][1] ^ d[i % 5][1])
+                 for i in range(25)]
+        b = [None] * 25
+        for x in range(5):
+            for y in range(5):
+                b[y + 5 * ((2 * x + 3 * y) % 5)] = _rotl64_pair(
+                    *lanes[x + 5 * y], _ROTATIONS[x][y]
+                )
+        lanes = [
+            (
+                b[x + 5 * y][0] ^ (~b[(x + 1) % 5 + 5 * y][0] & b[(x + 2) % 5 + 5 * y][0]),
+                b[x + 5 * y][1] ^ (~b[(x + 1) % 5 + 5 * y][1] & b[(x + 2) % 5 + 5 * y][1]),
+            )
+            for y in range(5) for x in range(5)
+        ]
+        lanes = [lanes[x + 5 * y] for y in range(5) for x in range(5)]
+        lanes[0] = (lanes[0][0] ^ U32(rc & 0xFFFFFFFF), lanes[0][1] ^ U32(rc >> 32))
+    return jnp.stack([jnp.stack([lo, hi]) for lo, hi in lanes])
+
+
+def keccak256_words(words, msg_bytes: int):
+    """Batched keccak-256 of fixed-size messages.
+
+    ``words``: (W, *B) uint32, the messages as little-endian 32-bit words
+    (W*4 >= msg_bytes; trailing bytes of the last word must be zero).
+    Returns (8, *B) uint32 — the 32-byte digests as LE words.
+    """
+    batch = words.shape[1:]
+    nblocks = msg_bytes // RATE_BYTES + 1
+    padded_words = nblocks * (RATE_BYTES // 4)
+    pad = jnp.zeros((padded_words - words.shape[0],) + batch, U32)
+    full = jnp.concatenate([words[: msg_bytes // 4 + (1 if msg_bytes % 4 else 0)]
+                            if words.shape[0] * 4 > msg_bytes else words,
+                            pad], axis=0)[:padded_words]
+    # padding bytes: 0x01 after the message, 0x80 at the block end
+    full = full.at[msg_bytes // 4].add(U32(0x01) << U32(8 * (msg_bytes % 4)))
+    full = full.at[padded_words - 1].add(U32(0x80) << U32(24))
+
+    state = jnp.zeros((25, 2) + tuple(batch), U32)
+    for blk in range(nblocks):
+        block = full[blk * 34 : (blk + 1) * 34]  # 34 words = 136 bytes
+        lanes = state
+        # xor message into the first 17 lanes
+        upd = jnp.stack([
+            jnp.stack([block[2 * i], block[2 * i + 1]]) for i in range(17)
+        ])
+        lanes = lanes.at[:17].set(lanes[:17] ^ upd)
+        state = keccak_f(lanes)
+    return jnp.concatenate([state[i] for i in range(4)], axis=0)
+
+
+def digest_words_to_bytes(words) -> list[bytes]:
+    """(8, B) uint32 LE digest words -> list of 32-byte digests."""
+    arr = np.asarray(words)
+    flat = arr.reshape(8, -1)
+    out = []
+    for b in range(flat.shape[1]):
+        out.append(b"".join(int(flat[i, b]).to_bytes(4, "little") for i in range(8)))
+    return out
+
+
+def bytes_to_digest_words(digests: list[bytes]):
+    """Inverse of digest_words_to_bytes."""
+    B = len(digests)
+    arr = np.zeros((8, B), np.uint32)
+    for b, d in enumerate(digests):
+        for i in range(8):
+            arr[i, b] = int.from_bytes(d[4 * i : 4 * i + 4], "little")
+    return jnp.asarray(arr)

@@ -1,0 +1,91 @@
+"""Merkle trees with batched device hashing.
+
+Parity: ``MerkleTree::build`` / ``get_proof_by_pos`` / ``Proof::verify``
+(``crypto/src/merkle_tree/merkle.rs:33,58``, ``proof.rs:20``) and the
+backend trait ``IsMerkleTreeBackend`` (``traits.rs:8``).
+
+TPU-native design: the reference parallelises leaf hashing with rayon and
+builds parents level-by-level on the CPU; here *every level is one batched
+device hash call* (Poseidon or Keccak over a (.., B) array), so the whole
+build is log2(n) kernel launches.  Nodes are then pulled to the host once,
+where proofs are O(log n) indexing — proofs are protocol-sized, not bulk.
+
+Unbalanced inputs are padded by repeating the last leaf (same convention as
+the reference's ``complete_until_power_of_two``, ``merkle.rs`` helpers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class MerkleBackend:
+    """A hashing backend: how to hash leaf data and how to merge nodes.
+
+    Node representation is backend-defined:
+    * Poseidon backend — nodes are Stark252 elements (ints on host).
+    * Keccak backends — nodes are 32-byte digests.
+    """
+
+    def hash_leaves(self, leaves):
+        raise NotImplementedError
+
+    def hash_parents(self, level):
+        raise NotImplementedError
+
+    def to_host(self, nodes) -> list:
+        raise NotImplementedError
+
+
+@dataclasses.dataclass
+class Proof:
+    """Inclusion proof: sibling path bottom-up (``proof.rs:15``)."""
+
+    merkle_path: list
+
+    def verify(self, backend: MerkleBackend, root, index: int, value) -> bool:
+        """Rebuild the root walking the sibling path (``proof.rs:20``)."""
+        node = backend.hash_leaf_host(value)
+        for sibling in self.merkle_path:
+            if index % 2 == 0:
+                node = backend.hash_parent_host(node, sibling)
+            else:
+                node = backend.hash_parent_host(sibling, node)
+            index //= 2
+        return node == root
+
+
+class MerkleTree:
+    """levels[0] = leaf hashes, levels[-1] = [root] (host values)."""
+
+    def __init__(self, backend: MerkleBackend, levels: list):
+        self.backend = backend
+        self.levels = levels
+
+    @classmethod
+    def build(cls, backend: MerkleBackend, leaves):
+        """``leaves``: backend-specific batched device array(s)."""
+        hashed = backend.hash_leaves(leaves)
+        hashed = backend.pad_to_power_of_two(hashed)
+        levels = [hashed]
+        while backend.count(hashed) > 1:
+            hashed = backend.hash_parents(hashed)
+            levels.append(hashed)
+        return cls(backend, [backend.to_host(lvl) for lvl in levels])
+
+    @property
+    def root(self):
+        return self.levels[-1][0]
+
+    def get_proof_by_pos(self, pos: int) -> Proof:
+        """Sibling path for leaf ``pos`` (``merkle.rs:58``)."""
+        path = []
+        idx = pos
+        for level in self.levels[:-1]:
+            sibling = idx ^ 1
+            path.append(level[min(sibling, len(level) - 1)])
+            idx //= 2
+        return Proof(merkle_path=path)

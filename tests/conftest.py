@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-virtual-device CPU platform.
+
+This is the JAX idiom for exercising sharding/collectives without a pod —
+the driver separately dry-runs the multi-chip path the same way.
+
+Note: the environment pre-imports jax and registers a tunneled TPU backend
+(sitecustomize), so setting env vars here is too late for that part; we must
+switch the platform through jax.config before any computation runs.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+if "jax" in sys.modules:
+    jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) >= 8, "tests expect 8 virtual CPU devices"
