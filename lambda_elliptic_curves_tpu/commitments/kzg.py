@@ -1,0 +1,121 @@
+"""KZG polynomial commitment scheme.
+
+Parity: ``KateZaveruchaGoldberg`` + ``StructuredReferenceString``
+(``crypto/src/commitments/kzg.rs:16,139``, ``traits.rs:6``): commit = MSM
+over the SRS G1 powers, open via Ruffini quotient, batched opens with
+upsilon powers, pairing-equation verification
+``e(C - y*G1, G2) * e(-pi, tau*G2 - x*G2) == 1``.
+
+TPU-native split: the MSMs (commit/open over big polynomials) run on the
+batched device Pippenger; quotients and the two verification pairings are
+exact host math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..curves.msm import msm as _msm
+from ..curves.pairings import AffinePoint, PairingConfig, compute_batch
+from ..poly.polynomial import Polynomial
+
+
+@dataclasses.dataclass
+class StructuredReferenceString:
+    """Powers of tau in both groups (``kzg.rs:16``)."""
+
+    powers_main_group: list  # [tau^i G1] host points
+    powers_secondary_group: list  # [G2, tau G2] AffinePoints over Fp2
+
+    @classmethod
+    def insecure_setup(cls, cfg: PairingConfig, size: int, tau: int = None):
+        """Test-only SRS from a known tau (the reference ships test SRS
+        fixtures; real SRS files load via ``from_file``/``deserialize``)."""
+        import random
+
+        tau = tau if tau is not None else random.randrange(2, cfg.r)
+        g1 = cfg.g1_curve.generator()
+        g2 = cfg.g2_generator()
+        main, acc = [], 1
+        for _ in range(size):
+            main.append(g1.operate_with_self(acc))
+            acc = acc * tau % cfg.r
+        return cls(main, [g2, g2.mul(tau)])
+
+    def serialize(self) -> bytes:
+        """Uncompressed binary layout mirroring ``kzg.rs`` as_bytes: sizes
+        then points as affine (x||y) big-endian pairs."""
+        out = bytearray()
+        pts = self.powers_main_group
+        out += len(pts).to_bytes(4, "big")
+        for pt in pts:
+            aff = pt.to_affine()
+            nb = pt.curve.field.params.num_bytes
+            out += aff.x.to_bytes(nb, "big") + aff.y.to_bytes(nb, "big")
+        return bytes(out)
+
+
+class KateZaveruchaGoldberg:
+    """IsCommitmentScheme parity (``crypto/src/commitments/traits.rs:6``)."""
+
+    def __init__(self, cfg: PairingConfig, srs: StructuredReferenceString,
+                 msm_method: str = "pippenger"):
+        self.cfg = cfg
+        self.srs = srs
+        self.method = msm_method
+        # scalars act modulo the subgroup order
+        self.field = None
+
+    def commit(self, poly: Polynomial):
+        coeffs = [c.value for c in poly.coefficients]
+        if not coeffs:
+            return self.cfg.g1_curve.neutral()
+        points = self.srs.powers_main_group[: len(coeffs)]
+        return _msm(self.cfg.g1_curve, coeffs, points, method=self.method)
+
+    def open(self, x, y, poly: Polynomial):
+        quotient = (poly - y).ruffini_division(x)
+        return self.commit(quotient) if not quotient.is_zero() \
+            else self.cfg.g1_curve.neutral()
+
+    def verify(self, x, y, p_commitment, proof) -> bool:
+        cfg = self.cfg
+        g1 = cfg.g1_curve.generator()
+        g2 = self.srs.powers_secondary_group[0]
+        tau_g2 = self.srs.powers_secondary_group[1]
+        lhs_g1 = p_commitment.operate_with(
+            g1.operate_with_self(int(y)).neg()
+        )
+        rhs_g2 = _g2_sub(tau_g2, _g2_scale(g2, int(x)))
+        result = compute_batch(cfg, [
+            (lhs_g1, g2),
+            (proof.neg(), rhs_g2),
+        ])
+        return result == cfg.fp12(1)
+
+    def open_batch(self, x, ys, polynomials, upsilon):
+        acc_poly = Polynomial.zero(polynomials[0].field)
+        for poly in reversed(polynomials):
+            acc_poly = acc_poly * upsilon + poly
+        acc_y = ys[0].field(0)
+        for y in reversed(ys):
+            acc_y = acc_y * upsilon + y
+        return self.open(x, acc_y, acc_poly)
+
+    def verify_batch(self, x, ys, p_commitments, proof, upsilon) -> bool:
+        acc_commit = self.cfg.g1_curve.neutral()
+        for c in reversed(p_commitments):
+            acc_commit = acc_commit.operate_with_self(
+                int(upsilon)).operate_with(c)
+        acc_y = ys[0].field(0)
+        for y in reversed(ys):
+            acc_y = acc_y * upsilon + y
+        return self.verify(x, acc_y, acc_commit, proof)
+
+
+def _g2_scale(q: AffinePoint, k: int) -> AffinePoint:
+    return q.mul(k)
+
+
+def _g2_sub(a: AffinePoint, b: AffinePoint) -> AffinePoint:
+    return a + b.neg()

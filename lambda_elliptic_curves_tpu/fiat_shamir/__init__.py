@@ -1,3 +1,4 @@
 """Fiat–Shamir transcripts."""
 
 from .transcript import DefaultTranscript  # noqa: F401
+from .stone import StoneProverTranscript  # noqa: F401

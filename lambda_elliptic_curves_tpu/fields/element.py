@@ -12,6 +12,12 @@ representative, fixed width = 64-bit-limb padded; ``math/src/traits.rs:10``).
 from __future__ import annotations
 
 
+def _deep_is_zero(v):
+    if isinstance(v, tuple):
+        return all(_deep_is_zero(c) for c in v)
+    return v == 0
+
+
 class FieldElement:
     """An element of a prime field or extension, wrapping an exact value.
 
@@ -80,7 +86,7 @@ class FieldElement:
 
     # -- predicates ------------------------------------------------------
     def is_zero(self):
-        return self.value == 0
+        return _deep_is_zero(self.value)
 
     def __eq__(self, other):
         if isinstance(other, FieldElement):
@@ -93,6 +99,8 @@ class FieldElement:
         return hash((self.field.p, self.value))
 
     def __repr__(self):
+        if isinstance(self.value, tuple):
+            return f"FE({self.value})"
         return f"FE({hex(self.value)})"
 
     def __int__(self):

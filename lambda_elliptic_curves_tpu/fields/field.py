@@ -10,7 +10,10 @@ Montgomery domain, and the ``PrimeField`` object is the kernel dispatcher.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .params import FieldParams
@@ -110,29 +113,72 @@ class PrimeField:
         return self.constant(1, batch_shape)
 
     # -- device arithmetic ----------------------------------------------------
+    # Each op is wrapped in a cached jax.jit so eager callers pay one
+    # compile per shape and a single dispatch per call (the digit kernels
+    # expand to a few hundred XLA ops that would otherwise dispatch one by
+    # one in eager mode).  Under an outer jit these wrappers are inlined.
+
+    @functools.cached_property
+    def _jit_add(self):
+        return jax.jit(lambda a, b: limbs.add(a, b, self.params))
+
+    @functools.cached_property
+    def _jit_sub(self):
+        return jax.jit(lambda a, b: limbs.sub(a, b, self.params))
+
+    @functools.cached_property
+    def _jit_neg(self):
+        return jax.jit(lambda a: limbs.neg(a, self.params))
+
+    @functools.cached_property
+    def _jit_mul(self):
+        return jax.jit(lambda a, b: limbs.mont_mul(a, b, self.params))
+
+    @functools.cached_property
+    def _jit_square(self):
+        return jax.jit(lambda a: limbs.mont_square(a, self.params))
+
+    @functools.cached_property
+    def _jit_inv(self):
+        return jax.jit(lambda a: limbs.mont_inv(a, self.params))
+
+    @functools.cached_property
+    def _jit_batch_inverse(self):
+        return jax.jit(lambda a: limbs.batch_inverse(a, self.params))
+
+    @functools.cached_property
+    def _jit_pow(self):
+        @functools.lru_cache(maxsize=64)
+        def make(exponent):
+            return jax.jit(
+                lambda a: limbs.mont_pow(a, exponent, self.params)
+            )
+
+        return make
+
     def add(self, a, b):
-        return limbs.add(a, b, self.params)
+        return self._jit_add(a, b)
 
     def sub(self, a, b):
-        return limbs.sub(a, b, self.params)
+        return self._jit_sub(a, b)
 
     def neg(self, a):
-        return limbs.neg(a, self.params)
+        return self._jit_neg(a)
 
     def mul(self, a, b):
-        return limbs.mont_mul(a, b, self.params)
+        return self._jit_mul(a, b)
 
     def square(self, a):
-        return limbs.mont_square(a, self.params)
+        return self._jit_square(a)
 
     def pow(self, a, exponent: int):
-        return limbs.mont_pow(a, exponent, self.params)
+        return self._jit_pow(int(exponent))(a)
 
     def inv(self, a):
-        return limbs.mont_inv(a, self.params)
+        return self._jit_inv(a)
 
     def batch_inverse(self, a):
-        return limbs.batch_inverse(a, self.params)
+        return self._jit_batch_inverse(a)
 
     def is_zero(self, a):
         return limbs.is_zero(a)

@@ -21,7 +21,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
-import jax.numpy as jnp
+import jax.numpy as jnp  # noqa: E402
 
 U32 = jnp.uint32
 
@@ -158,13 +158,24 @@ def keccak_f(state):
     return jnp.stack([jnp.stack([lo, hi]) for lo, hi in lanes])
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_keccak256_words(msg_bytes: int):
+    import jax
+
+    return jax.jit(lambda words: _keccak256_words_impl(words, msg_bytes))
+
+
 def keccak256_words(words, msg_bytes: int):
-    """Batched keccak-256 of fixed-size messages.
+    """Batched keccak-256 of fixed-size messages (jit-cached per size).
 
     ``words``: (W, *B) uint32, the messages as little-endian 32-bit words
     (W*4 >= msg_bytes; trailing bytes of the last word must be zero).
     Returns (8, *B) uint32 — the 32-byte digests as LE words.
     """
+    return _jitted_keccak256_words(int(msg_bytes))(words)
+
+
+def _keccak256_words_impl(words, msg_bytes: int):
     batch = words.shape[1:]
     nblocks = msg_bytes // RATE_BYTES + 1
     padded_words = nblocks * (RATE_BYTES // 4)

@@ -118,8 +118,18 @@ def _mix(f, s):
     return jnp.stack([o0, o1, o2], axis=1)
 
 
+@functools.lru_cache(maxsize=1)
+def _jitted_hades():
+    return jax.jit(_hades_impl)
+
+
 def hades_permutation(state):
-    """Batched permutation: ``state`` is (K, 3, *B) Montgomery digits."""
+    """Batched permutation: ``state`` is (K, 3, *B) Montgomery digits
+    (jit-cached)."""
+    return _jitted_hades()(state)
+
+
+def _hades_impl(state):
     f = Stark252
     rc = round_constants()
     batch = state.shape[2:]

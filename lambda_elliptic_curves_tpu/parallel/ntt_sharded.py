@@ -1,0 +1,158 @@
+"""Multi-chip NTT: four-step decomposition over a 1-D device mesh.
+
+The reference has no distributed backend (rayon only; SURVEY.md §2.5) — this
+is the TPU-native scaling axis: an N = N1*N2 transform becomes
+
+1. N2 independent length-N1 NTTs (columns; batch-local),
+2. twiddle multiply by w^(k1*j2) (local),
+3. one ``all_to_all`` resharding (the only cross-chip exchange, riding ICI),
+4. N1 independent length-N2 NTTs (rows; batch-local).
+
+With the matrix sharded over j2 for step 1 and over k1 for step 4, each
+chip only ever runs dense local batched NTTs, and the transpose is a single
+collective.  Output is in "transposed" order: out[k2*N1 + k1] = C[k1, k2];
+``ordering="natural"`` adds the final reshard to deliver coefficient order.
+
+Index math: X[k2*N1 + k1] = sum_{j2} w_{N2}^{j2 k2} [ w_N^{j2 k1} *
+sum_{j1} w_{N1}^{j1 k1} x[j1*N2 + j2] ].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..fields.field import PrimeField
+from ..poly import ntt
+
+
+def _powers_from_device_base(field: PrimeField, base, count: int):
+    """powers 1, b, b^2, ... b^(count-1) where ``base`` is a (K,) device
+    scalar (Montgomery).  Doubling construction: log2(count) vector ops."""
+    acc = base[:, None] * 0 + field.constant(1, (1,))
+    step = base[:, None]
+    built = 1
+    while built < count:
+        nxt = field.mul(acc, jnp.broadcast_to(step, acc.shape))
+        acc = jnp.concatenate([acc, nxt], axis=-1)
+        step = field.square(step)
+        built *= 2
+    return acc[..., :count]
+
+
+def _pow_traced_exponent(field: PrimeField, base_int: int, exponent,
+                         max_bits: int):
+    """(w^exponent) for a traced uint32 exponent, via per-bit selects of
+    precomputed w^(2^b) constants."""
+    acc = field.constant(1, ())
+    for b in range(max_bits):
+        const = field.constant(pow(base_int, 1 << b, field.p), ())
+        bit = (exponent >> b) & 1
+        acc = field.select(bit == 1, field.mul(acc, const), acc)
+    return acc
+
+
+def sharded_ntt(field: PrimeField, coeffs, mesh: Mesh, axis_name: str = "x",
+                ordering: str = "transposed", inverse: bool = False):
+    """Distributed NTT of ``coeffs`` (K, N) over the mesh axis.
+
+    Returns evaluations; ``ordering="transposed"`` leaves them in
+    (k1-major) order — the cheap choice when chaining with pointwise ops
+    and an inverse transform — while ``"natural"`` adds a final reshard.
+    """
+    D = mesh.shape[axis_name]
+    K, N = coeffs.shape[0], coeffs.shape[-1]
+    # choose N1 >= D, N2 >= D, both powers of two
+    log_n = N.bit_length() - 1
+    log_n1 = max(log_n // 2, D.bit_length() - 1)
+    N1 = 1 << log_n1
+    N2 = N // N1
+    if N1 % D or N2 % D:
+        raise ValueError(f"N1={N1}, N2={N2} must be divisible by D={D}")
+
+    w = field.params.primitive_root_of_unity(log_n)
+    if inverse:
+        w = pow(w, field.p - 2, field.p)
+
+    local = functools.partial(_local_four_step, field, N1, N2, w,
+                              axis_name, D)
+    mat = coeffs.reshape(K, N1, N2)
+
+    out = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=P(None, None, axis_name),
+            out_specs=P(None, axis_name, None),
+        )
+    )(mat)
+    # out[k1, k2] sharded over k1; element (k1, k2) is X[k2*N1 + k1]
+    if ordering == "natural":
+        out = out.transpose(0, 2, 1).reshape(K, N)  # (k2, k1) row-major
+    if inverse:
+        n_inv = field.constant(pow(N, field.p - 2, field.p), ())
+        out = field.mul(out, jnp.broadcast_to(
+            n_inv.reshape((K,) + (1,) * (out.ndim - 1)), out.shape))
+    return out
+
+
+def _local_four_step(field, N1, N2, w, axis_name, D, block):
+    """Per-device body: block is (K, N1, N2/D)."""
+    K = block.shape[0]
+    n2_loc = block.shape[-1]
+    # step 1: length-N1 NTTs along axis 1 (batch = local j2 columns),
+    # using the induced root w^N2 of order N1
+    cols = jnp.moveaxis(block, 1, 2)  # (K, n2_loc, N1)
+    cols = _fft_with_root(field, cols, pow(w, N2, field.p))
+    a = jnp.moveaxis(cols, 2, 1)  # (K, N1, n2_loc), A[k1, j2]
+
+    # step 2: twiddles w^(k1 * j2_global)
+    me = jax.lax.axis_index(axis_name)
+    dev_off = me.astype(jnp.uint32) * jnp.uint32(n2_loc)
+    base = _pow_traced_exponent(field, w, dev_off, (N1 * N2).bit_length())
+    # w^(k1 * j2) = (w^(k1))^(j2); build local matrix by doubling over j2:
+    # T[:, :, j] = (w^k1)^(dev_off + j) = (w^dev_off)^k1 * (w^k1)^j
+    p_k1 = ntt.powers(field, w, N1)  # (K, N1): w^k1
+    t = _powers_matrix(field, p_k1, n2_loc)  # (K, N1, n2_loc): (w^k1)^j
+    # base_k1 = (w^k1)^dev_off = (w^dev_off)^k1
+    base_k1 = _powers_from_device_base(field, base, N1)  # (K, N1)
+    t = field.mul(t, base_k1[..., None])
+    b = field.mul(a, t)
+
+    # step 3: all-to-all — shard k1, gather full rows j2
+    b = jax.lax.all_to_all(b, axis_name, split_axis=1, concat_axis=2,
+                           tiled=True)  # (K, N1/D, N2)
+
+    # step 4: length-N2 NTTs along the last axis
+    c = _fft_with_root(field, b, pow(w, N1, field.p))
+    return c  # (K, N1/D, N2) = C[k1, k2]
+
+
+def _powers_matrix(field, bases, count):
+    """(K, M) bases -> (K, M, count) with [., m, j] = bases[m]^j, by
+    doubling along j."""
+    K, M = bases.shape
+    acc = field.ones((M, 1))
+    step = bases[..., None]
+    built = 1
+    while built < count:
+        nxt = field.mul(acc, jnp.broadcast_to(step, acc.shape))
+        acc = jnp.concatenate([acc, nxt], axis=-1)
+        step = field.square(step)
+        built *= 2
+    return acc[..., :count]
+
+
+def _fft_with_root(field, x, root_int):
+    """Radix-2 NTT along the last axis using an explicit primitive root
+    (needed because sub-transform roots are powers of the global root, not
+    the field's canonical generator)."""
+    n = x.shape[-1]
+    order = n.bit_length() - 1
+    tw = ntt.powers(field, root_int, max(n // 2, 1))
+    tw = ntt.bit_reverse_permute(tw)
+    out = ntt._fft_core(x, field, tw)
+    return ntt.bit_reverse_permute(out)

@@ -188,6 +188,21 @@ def interpolate_offset_fft(field: PrimeField, evals, offset: int):
     return scale_coeffs(field, coeffs, inv_off)
 
 
+def compose_fft(field: PrimeField, poly_1, poly_2):
+    """Composition p1(p2(x)) via evaluation (``compose_fft``,
+    ``math/src/fft/polynomial.rs:130``): evaluate p2 over a domain large
+    enough for the composition, Horner-evaluate p1 at those values,
+    interpolate back.  Host polynomials in, host polynomial out."""
+    from .polynomial import Polynomial
+
+    deg = max(poly_1.degree(), 0) * max(poly_2.degree(), 1) + 1
+    size = 1 << max((deg - 1).bit_length(), 0)
+    evals2 = field.to_ints(evaluate_fft(field, poly_2.to_device(size)))
+    values = [poly_1.evaluate(field(int(v))) for v in evals2]
+    coeffs = interpolate_fft(field, field.array([v.value for v in values]))
+    return Polynomial(field, [int(v) for v in field.to_ints(coeffs)])
+
+
 def scale_coeffs(field: PrimeField, coeffs, factor: int):
     """coeffs[i] *= factor^i (``Polynomial::scale``, ``polynomial/mod.rs:259``)."""
     factor = int(factor) % field.p

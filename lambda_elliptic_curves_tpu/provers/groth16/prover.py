@@ -1,0 +1,84 @@
+"""Groth16 prover (parity: ``provers/groth16/src/prover.rs:68``):
+h(tau) via offset NTTs + five MSMs, with (r, s) hiding randomness."""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+
+from ...curves.msm import msm as device_msm, msm_naive_host
+from ...curves.pairings import AffinePoint, BLS12381Pairing
+from .qap import QuadraticArithmeticProgram
+from .setup import ProvingKey
+
+
+@dataclasses.dataclass
+class Proof:
+    pi1: object  # G1
+    pi2: object  # G2 (AffinePoint over Fp2)
+    pi3: object  # G1
+
+    def serialize(self) -> bytes:
+        """Length-prefixed uncompressed points (``prover.rs:14`` role)."""
+        out = bytearray()
+        for pt in (self.pi1, self.pi3):
+            aff = pt.to_affine()
+            nb = pt.curve.field.params.num_bytes
+            blob = aff.x.to_bytes(nb, "big") + aff.y.to_bytes(nb, "big")
+            out += len(blob).to_bytes(4, "big") + blob
+        x, y = self.pi2.x.value, self.pi2.y.value
+        nb = self.pi2.field.prime_field().params.num_bytes
+        blob = b"".join(int(c).to_bytes(nb, "big") for c in (*x, *y))
+        out += len(blob).to_bytes(4, "big") + blob
+        return bytes(out)
+
+
+def _msm_g1(cfg, scalars, points):
+    nontrivial = [(s, p) for s, p in zip(scalars, points) if int(s)]
+    if not nontrivial:
+        return cfg.g1_curve.neutral()
+    s, p = zip(*nontrivial)
+    return device_msm(cfg.g1_curve, list(s), list(p))
+
+
+def _msm_g2_host(cfg, scalars, points):
+    acc = AffinePoint.infinity(points[0].field)
+    for s, p in zip(scalars, points):
+        if int(s):
+            acc = acc + p.mul(int(s) % cfg.r)
+    return acc
+
+
+def prove(witness, qap: QuadraticArithmeticProgram, pk: ProvingKey,
+          cfg=BLS12381Pairing, rng=None) -> Proof:
+    rng = rng or random.Random()
+    fr = qap.field
+    w = [int(x) % fr.p for x in witness]
+
+    h = qap.calculate_h_coefficients(w)
+
+    r = rng.randrange(fr.p)
+    s = rng.randrange(fr.p)
+
+    pi1 = _msm_g1(cfg, w, pk.l_tau_g1) \
+        .operate_with(pk.alpha_g1) \
+        .operate_with(pk.delta_g1.operate_with_self(r))
+
+    pi2 = _msm_g2_host(cfg, w, pk.r_tau_g2) + pk.beta_g2 + \
+        pk.delta_g2.mul(s)
+
+    t_h_g1 = _msm_g1(cfg, h, pk.z_powers_of_tau_g1[: len(h)])
+    k_priv_g1 = _msm_g1(cfg, w[qap.num_of_public_inputs:],
+                        pk.prover_k_tau_g1[: qap.num_of_private_inputs])
+
+    pi2_g1 = _msm_g1(cfg, w, pk.r_tau_g1) \
+        .operate_with(pk.beta_g1) \
+        .operate_with(pk.delta_g1.operate_with_self(s))
+
+    pi3 = k_priv_g1 \
+        .operate_with(t_h_g1) \
+        .operate_with(pi1.operate_with_self(s)) \
+        .operate_with(pi2_g1.operate_with_self(r)) \
+        .operate_with(pk.delta_g1.operate_with_self((-r * s) % cfg.r))
+
+    return Proof(pi1=pi1, pi2=pi2, pi3=pi3)

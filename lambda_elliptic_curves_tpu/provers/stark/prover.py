@@ -1,0 +1,440 @@
+"""STARK prover (stark-platinum parity, TPU-native execution).
+
+Protocol parity: the round structure of ``IsStarkProver``
+(``provers/stark/src/prover.rs``): round 1 RAP commit (:335), round 2
+composition polynomial (:428), round 3 OOD evaluations (:487), round 4
+DEEP + FRI + grinding + queries (:536), orchestrated exactly like
+``prove`` (:871), including the challenge/append ordering against
+``DefaultTranscript``.
+
+TPU-native execution model:
+* All bulk math is batched device work on digit arrays — trace
+  interpolation and LDEs are batched NTTs over all columns at once;
+  constraint evaluation is one vectorised expression over the whole LDE
+  coset (columns shifted by ``jnp.roll``) instead of a per-row loop;
+  zerofiers use their short cyclic structure (one ``blowup*period``-length
+  cycle tiled across the domain).
+* Quotients (DEEP composition) are formed **in evaluation space** —
+  elementwise multiplies by batch-inverted denominators — then converted to
+  coefficients with one inverse NTT, instead of the reference's sequential
+  Ruffini divisions.
+* The transcript is host state; each round boundary is a device→host sync,
+  which is exactly the protocol-mandated sequencing.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ...fields.element import FieldElement
+from ...merkle import MerkleTree, KeccakBatchBackend
+from ...poly import ntt
+from ...poly.polynomial import evaluate_coeffs_at
+from ...utils.errors import ProvingError
+from . import grinding
+from .air import DeviceCtx, device_frame
+from .domain import Domain
+from .proof import (
+    DeepPolynomialOpening, FriDecommitment, PolynomialOpenings, StarkProof,
+)
+
+
+def _powers_host(field, base: FieldElement, count: int):
+    out, acc = [], field(1)
+    for _ in range(count):
+        out.append(acc)
+        acc = acc * base
+    return out
+
+
+def _gather_host(field, arr, idx):
+    """Pull a few positions of a device digit array to host ints."""
+    vals = field.to_ints(arr[..., idx] if isinstance(idx, int) else
+                         jnp.take(arr, jnp.asarray(idx), axis=-1))
+    return vals
+
+
+class Prover:
+    """Holds per-proof state; ``prove`` is the public entry point."""
+
+    def __init__(self, air_class):
+        self.air_class = air_class
+
+    # ------------------------------------------------------------------
+    def prove(self, trace, pub_inputs, proof_options, transcript) -> StarkProof:
+        air = self.air_class(trace.num_rows // 1, pub_inputs, proof_options)
+        f = air.field
+        domain = Domain(air)
+        backend = KeccakBatchBackend(f)
+        blowup = domain.blowup_factor
+        n = domain.trace_length
+        N = domain.lde_size
+
+        # =========================== Round 1 ===========================
+        tpolys = ntt.interpolate_fft(f, trace.columns)  # (K, C, n)
+        lde = ntt.evaluate_offset_fft(
+            f, tpolys, blowup, n, domain.coset_offset
+        )  # (K, C, N) natural order
+        lde_br = ntt.bit_reverse_permute(lde)
+        main_tree = MerkleTree.build(backend, lde_br)
+        transcript.append_bytes(main_tree.root)
+
+        rap_challenges = []
+        aux_polys = aux_lde = aux_tree = None
+        if air.has_trace_interaction:
+            rap_challenges = air.build_rap_challenges(transcript)
+            aux = air.build_auxiliary_trace(trace, rap_challenges)
+            aux_polys = ntt.interpolate_fft(f, aux)
+            aux_lde = ntt.evaluate_offset_fft(f, aux_polys, blowup, n,
+                                              domain.coset_offset)
+            aux_tree = MerkleTree.build(backend,
+                                        ntt.bit_reverse_permute(aux_lde))
+            transcript.append_bytes(aux_tree.root)
+            lde_all = jnp.concatenate([lde, aux_lde], axis=1)
+            tpolys_all = jnp.concatenate([tpolys, aux_polys], axis=1)
+        else:
+            lde_all = lde
+            tpolys_all = tpolys
+
+        # ======================= challenges: beta ======================
+        beta = transcript.sample_field_element()
+        n_transition = air.num_transition_constraints
+        boundary = air.boundary_constraints(rap_challenges)
+        coeffs = _powers_host(f, beta, n_transition + len(boundary))
+        transition_coeffs = coeffs[:n_transition]
+        boundary_coeffs = coeffs[n_transition:]
+
+        # =========================== Round 2 ===========================
+        ce_evals = self._composition_evaluations(
+            air, domain, lde_all, transition_coeffs, boundary, boundary_coeffs,
+            rap_challenges,
+        )
+        h_coeffs = ntt.interpolate_offset_fft(f, ce_evals, domain.coset_offset)
+        nparts = air.composition_poly_degree_bound() // n
+        # break_in_parts: part i = coefficients i, i+P, i+2P, ...
+        parts = jnp.stack(
+            [h_coeffs[..., i::nparts] for i in range(nparts)], axis=-2
+        )  # (K, nparts, N/nparts)
+        parts_lde = ntt.evaluate_offset_fft(
+            f, parts, N // parts.shape[-1], None, domain.coset_offset
+        )  # (K, nparts, N)
+        parts_br = ntt.bit_reverse_permute(parts_lde)
+        # leaf j = [p_i[2j], p_i[2j+1] for all parts i]
+        comp_leaves = jnp.concatenate(
+            [parts_br[..., 0::2], parts_br[..., 1::2]], axis=1
+        )  # (K, 2*nparts, N/2): first nparts rows = even, then odd
+        comp_tree = MerkleTree.build(backend, comp_leaves)
+        transcript.append_bytes(comp_tree.root)
+
+        # =========================== Round 3 ===========================
+        z = transcript.sample_z_ood(domain.coset_offset, N, domain.root_order)
+        z_power = z**nparts
+        parts_ood = [
+            int(f.to_ints(evaluate_coeffs_at(f, parts[:, i], z_power.value)))
+            for i in range(nparts)
+        ]
+        g = f(domain.trace_primitive_root)
+        offsets = air.transition_offsets
+        num_cols = lde_all.shape[1]
+        # trace OOD: [offset_idx][col] = t_col(z * g^offset)
+        trace_ood = [
+            [
+                int(f.to_ints(evaluate_coeffs_at(f, tpolys_all[:, j],
+                                                 (z * g**off).value)))
+                for j in range(num_cols)
+            ]
+            for off in offsets
+        ]
+        # transcript order matches the reference: column-major
+        for j in range(num_cols):
+            for k in range(len(offsets)):
+                transcript.append_field_element(f(trace_ood[k][j]))
+        for v in parts_ood:
+            transcript.append_field_element(f(v))
+
+        # =========================== Round 4 ===========================
+        gamma = transcript.sample_field_element()
+        n_trace_terms = len(offsets) * air.step_size * num_cols
+        all_gammas = _powers_host(f, gamma, n_trace_terms + nparts)
+        trace_gammas = all_gammas[:n_trace_terms]
+        comp_gammas = all_gammas[n_trace_terms:]
+
+        deep_evals = self._deep_composition_evaluations(
+            f, domain, lde_all, parts_lde, trace_ood, parts_ood, z, z_power,
+            g, offsets, trace_gammas, comp_gammas,
+        )
+        p0 = ntt.interpolate_offset_fft(f, deep_evals, domain.coset_offset)
+        # p0 has degree < n; drop the provably-zero high coefficients so FRI
+        # folds operate on the true degree bound
+        p0 = p0[..., :n]
+
+        fri_roots, fri_layers, last_value = self._fri_commit(
+            f, domain, p0, transcript, backend
+        )
+
+        nonce = None
+        if proof_options.grinding_factor > 0:
+            nonce = grinding.generate_nonce(
+                transcript.state(), proof_options.grinding_factor
+            )
+            transcript.append_bytes(nonce.to_bytes(8, "big"))
+
+        iotas = [
+            transcript.sample_u64(N >> 1)
+            for _ in range(proof_options.fri_number_of_queries)
+        ]
+
+        query_list = self._fri_query(f, fri_layers, iotas)
+        deep_openings = self._open_deep(
+            f, backend, main_tree, aux_tree, comp_tree, lde_br,
+            ntt.bit_reverse_permute(aux_lde) if aux_lde is not None else None,
+            comp_leaves, iotas, nparts,
+        )
+
+        return StarkProof(
+            trace_length=n,
+            lde_trace_main_merkle_root=main_tree.root,
+            lde_trace_aux_merkle_root=aux_tree.root if aux_tree else None,
+            trace_ood_evaluations=trace_ood,
+            composition_poly_root=comp_tree.root,
+            composition_poly_parts_ood_evaluation=parts_ood,
+            fri_layers_merkle_roots=fri_roots,
+            fri_last_value=last_value,
+            query_list=query_list,
+            deep_poly_openings=deep_openings,
+            nonce=nonce,
+        )
+
+    # ------------------------------------------------------------------
+    def _composition_evaluations(self, air, domain, lde_all, transition_coeffs,
+                                 boundary, boundary_coeffs, rap_challenges):
+        """Numerator of H over the LDE coset (ConstraintEvaluator parity,
+        ``constraints/evaluator.rs:33``), fully vectorised."""
+        f = air.field
+        N = domain.lde_size
+        n = domain.trace_length
+        blowup = domain.blowup_factor
+        g_int = domain.trace_primitive_root
+        lde_points = domain.lde_points()  # (K, N)
+
+        acc = f.zeros((N,))
+
+        # ---- boundary terms: sum beta' * (t_col - v) / (x - g^step)
+        for bc, beta_c in zip(boundary, boundary_coeffs):
+            point = pow(g_int, bc.step, f.p)
+            denom = f.sub(lde_points, f.constant(point, (N,)))
+            inv = f.batch_inverse(denom)
+            col = lde_all[:, bc.col + (air.trace_columns if bc.is_aux else 0)]
+            value = bc.value.value if hasattr(bc.value, "value") else int(bc.value)
+            num = f.sub(col, f.constant(value, (N,)))
+            acc = f.add(acc, f.mul(f.mul(num, inv),
+                                   f.constant(beta_c.value, (N,))))
+
+        # ---- periodic columns on the LDE
+        periodic_lde = []
+        for values in air.get_periodic_column_values():
+            vals = [int(v) for v in values]
+            cycled = (vals * (n // len(vals) + 1))[:n]
+            pcoeffs = ntt.interpolate_fft(f, f.array(cycled))
+            periodic_lde.append(
+                ntt.evaluate_offset_fft(f, pcoeffs, blowup, n,
+                                        domain.coset_offset)
+            )
+
+        # ---- transition terms
+        frame = device_frame(lde_all, air.transition_offsets, blowup,
+                             air.step_size)
+        ctx = DeviceCtx(f, N)
+        evaluations = air.compute_transition(ctx, frame, periodic_lde,
+                                             rap_challenges)
+        zinv = self._zerofier_inverse_evals(air, domain)
+        for ev, zv, beta_c in zip(evaluations, zinv, transition_coeffs):
+            acc = f.add(acc, f.mul(f.mul(ev, zv),
+                                   f.constant(beta_c.value, (N,))))
+        return acc
+
+    def _zerofier_inverse_evals(self, air, domain):
+        """Per-constraint inverse zerofier over the LDE coset
+        (``transition.rs:108``): the base zerofier is cyclic with period
+        blowup*period, so compute one short cycle on the host (exact ints)
+        and tile it; end exemptions multiply back in on device."""
+        f = air.field
+        p = f.p
+        N = domain.lde_size
+        n = domain.trace_length
+        blowup = domain.blowup_factor
+        g = domain.trace_primitive_root
+        w = domain.lde_primitive_root
+        offs = domain.coset_offset
+        cache = {}
+        out = [None] * air.num_transition_constraints
+        lde_points = None
+        for c in air.transition_constraints():
+            key = c.zerofier_key()
+            if key not in cache:
+                if c.exemptions_period is not None:
+                    period = c.exemptions_period
+                    cycle_len = blowup * period
+                    off_exp = n * c.periodic_exemptions_offset // period
+                    cycle = []
+                    for e in range(cycle_len):
+                        x = offs * pow(w, e, p) % p
+                        numr = (pow(x, n // period, p) - pow(g, off_exp, p)) % p
+                        den = (pow(x, n // c.period, p)
+                               - pow(g, c.offset * n // c.period, p)) % p
+                        cycle.append(numr * pow(den, -1, p) % p)
+                else:
+                    cycle_len = blowup * c.period
+                    cycle = []
+                    for e in range(cycle_len):
+                        x = offs * pow(w, e, p) % p
+                        v = (pow(x, n // c.period, p)
+                             - pow(g, c.offset * n // c.period, p)) % p
+                        cycle.append(pow(v, -1, p))
+                tiled = f.array(cycle * (N // cycle_len))
+                # end exemptions polynomial evaluated on the LDE
+                if c.end_exemptions > 0:
+                    nonlocal_points = domain.lde_points()
+                    ex = f.ones((N,))
+                    for r in c.end_exemptions_points(g, n, p):
+                        ex = f.mul(ex, f.sub(nonlocal_points,
+                                             f.constant(r, (N,))))
+                    tiled = f.mul(tiled, ex)
+                cache[key] = tiled
+            out[c.constraint_idx] = cache[key]
+        return out
+
+    # ------------------------------------------------------------------
+    def _deep_composition_evaluations(self, f, domain, lde_all, parts_lde,
+                                      trace_ood, parts_ood, z, z_power, g,
+                                      offsets, trace_gammas, comp_gammas):
+        """DEEP composition poly evaluated over the LDE coset
+        (``prover.rs:643`` compute_deep_composition_poly — but as
+        elementwise evaluation-space quotients)."""
+        N = domain.lde_size
+        lde_points = domain.lde_points()
+        acc = f.zeros((N,))
+
+        # H-part terms: gamma'_i (H_i - H_i(z^np)) / (x - z^np)
+        inv_h = f.batch_inverse(
+            f.sub(lde_points, f.constant(z_power.value, (N,)))
+        )
+        for i, gamma_c in enumerate(comp_gammas):
+            num = f.sub(parts_lde[:, i], f.constant(parts_ood[i], (N,)))
+            acc = f.add(acc, f.mul(f.mul(num, inv_h),
+                                   f.constant(gamma_c.value, (N,))))
+
+        # trace terms: gamma_{jk} (t_j - t_j(z g^k)) / (x - z g^k)
+        num_cols = lde_all.shape[1]
+        gi = 0
+        for j in range(num_cols):
+            for k, off in enumerate(offsets):
+                zp = (z * g**off).value
+                inv = f.batch_inverse(
+                    f.sub(lde_points, f.constant(zp, (N,)))
+                )
+                num = f.sub(lde_all[:, j], f.constant(trace_ood[k][j], (N,)))
+                acc = f.add(acc, f.mul(f.mul(num, inv),
+                                       f.constant(trace_gammas[gi].value, (N,))))
+                gi += 1
+        return acc
+
+    # ------------------------------------------------------------------
+    def _fri_commit(self, f, domain, p0, transcript, backend):
+        """FRI commit phase (``fri/mod.rs:22``): fold p' = 2*(even + z*odd),
+        evaluate each layer over the squared-offset coset, commit pairs of
+        bit-reversed evaluations."""
+        num_layers = domain.root_order
+        poly = p0
+        offset = domain.coset_offset
+        size = domain.lde_size
+        layers = []  # (evals_br (K, size), tree)
+        roots = []
+        for _ in range(1, num_layers):
+            zeta = transcript.sample_field_element()
+            offset = offset * offset % f.p
+            size //= 2
+            poly = self._fold(f, poly, zeta)
+            evals = ntt.evaluate_offset_fft(f, poly, 1, size, offset)
+            evals_br = ntt.bit_reverse_permute(evals)
+            pairs = jnp.stack([evals_br[..., 0::2], evals_br[..., 1::2]],
+                              axis=1)  # (K, 2, size/2)
+            tree = MerkleTree.build(backend, pairs)
+            layers.append((evals_br, tree))
+            roots.append(tree.root)
+            transcript.append_bytes(tree.root)
+        zeta = transcript.sample_field_element()
+        poly = self._fold(f, poly, zeta)
+        last_value = int(f.to_ints(poly[..., 0]))
+        transcript.append_field_element(f(last_value))
+        return roots, layers, last_value
+
+    @staticmethod
+    def _fold(f, poly, zeta):
+        """p' = 2 * (p_even + zeta * p_odd)  (``fri_functions.rs:7`` with the
+        factor 2 from ``fri/mod.rs:51``)."""
+        even = poly[..., 0::2]
+        odd = poly[..., 1::2]
+        m = even.shape[-1]
+        zc = f.constant(zeta.value, (m,))
+        two = f.constant(2, (m,))
+        return f.mul(two, f.add(even, f.mul(zc, odd)))
+
+    def _fri_query(self, f, layers, iotas):
+        """FRI decommitments (``fri/mod.rs:77``)."""
+        out = []
+        for iota in iotas:
+            evals_sym, paths = [], []
+            index = iota
+            for evals_br, tree in layers:
+                evals_sym.append(int(f.to_ints(evals_br[..., index ^ 1])))
+                paths.append(tree.get_proof_by_pos(index >> 1))
+                index >>= 1
+            out.append(FriDecommitment(layers_auth_paths=paths,
+                                       layers_evaluations_sym=evals_sym))
+        return out
+
+    # ------------------------------------------------------------------
+    def _open_deep(self, f, backend, main_tree, aux_tree, comp_tree, lde_br,
+                   aux_lde_br, comp_leaves, iotas, nparts):
+        """Open trace rows and composition leaves at each iota pair
+        (``prover.rs:752-860``)."""
+        openings = []
+        for iota in iotas:
+            idx, idx_sym = 2 * iota, 2 * iota + 1
+            main_open = PolynomialOpenings(
+                proof=main_tree.get_proof_by_pos(idx),
+                proof_sym=main_tree.get_proof_by_pos(idx_sym),
+                evaluations=[int(v) for v in
+                             f.to_ints(lde_br[..., idx])],
+                evaluations_sym=[int(v) for v in
+                                 f.to_ints(lde_br[..., idx_sym])],
+            )
+            aux_open = None
+            if aux_tree is not None:
+                aux_open = PolynomialOpenings(
+                    proof=aux_tree.get_proof_by_pos(idx),
+                    proof_sym=aux_tree.get_proof_by_pos(idx_sym),
+                    evaluations=[int(v) for v in
+                                 f.to_ints(aux_lde_br[..., idx])],
+                    evaluations_sym=[int(v) for v in
+                                     f.to_ints(aux_lde_br[..., idx_sym])],
+                )
+            leaf_vals = [int(v) for v in f.to_ints(comp_leaves[..., iota])]
+            comp_open = PolynomialOpenings(
+                proof=comp_tree.get_proof_by_pos(iota),
+                proof_sym=comp_tree.get_proof_by_pos(iota),
+                evaluations=leaf_vals[:nparts],
+                evaluations_sym=leaf_vals[nparts:],
+            )
+            openings.append(DeepPolynomialOpening(
+                composition_poly=comp_open,
+                main_trace_polys=main_open,
+                aux_trace_polys=aux_open,
+            ))
+        return openings
+
+
+def prove(air_class, trace, pub_inputs, proof_options, transcript):
+    """Convenience wrapper: ``IsStarkProver::prove`` parity."""
+    return Prover(air_class).prove(trace, pub_inputs, proof_options, transcript)

@@ -1,0 +1,96 @@
+"""Elliptic curve group law + MSM tests (device vs exact host oracle).
+
+Mirrors the reference's per-curve tests (adding/doubling/order checks in
+``curves/*/curve.rs`` test mods) and the MSM proptests
+(``msm/pippenger.rs:221``).
+"""
+
+import random
+
+import pytest
+
+from lambda_elliptic_curves_tpu.curves import (
+    BLS12381Curve, BN254Curve, Secp256k1Curve, StarkCurve, TestCurve1,
+    JacobianOps, msm, msm_naive_host,
+)
+from lambda_elliptic_curves_tpu.curves.msm import (
+    msm_double_and_add, msm_pippenger, scalars_to_digits,
+)
+
+CURVES = [BLS12381Curve, BN254Curve, Secp256k1Curve, StarkCurve]
+
+
+@pytest.mark.parametrize("curve", CURVES, ids=lambda c: c.name)
+def test_host_group_law(curve):
+    g = curve.generator()
+    assert curve.defining_equation(g.gx if False else curve.gx, curve.gy) == 0
+    g2 = g.double()
+    assert g2 == g + g
+    g3 = g2 + g
+    assert g3 == g * 3
+    assert (g + (-g)).is_neutral_element()
+    assert (g + curve.neutral()) == g
+    if curve.order:
+        assert (g * curve.order).is_neutral_element()
+        assert g * (curve.order + 5) == g * 5
+
+
+@pytest.mark.parametrize("curve", [BN254Curve, TestCurve1], ids=lambda c: c.name)
+def test_device_group_law_matches_host(curve):
+    ops = JacobianOps(curve)
+    g = curve.generator()
+    pts = [g * k for k in (1, 2, 3, 7)] + [curve.neutral()]
+    dev = ops.from_host(pts)
+    # doubling
+    doubled = ops.to_host(ops.double(dev))
+    for p_in, p_out in zip(pts, doubled):
+        assert p_out == p_in.double()
+    # pairwise adds, including identity and doubling cases
+    others = [g * k for k in (5, 2, 11, 0, 3)]
+    others = [o if k != 0 else curve.neutral()
+              for o, k in zip(others, (5, 2, 11, 0, 3))]
+    dev2 = ops.from_host(others)
+    summed = ops.to_host(ops.add(dev, dev2))
+    for a, b, s in zip(pts, others, summed):
+        assert s == a + b
+    # inverse pair -> infinity
+    inv = ops.from_host([(-p) if not p.is_neutral_element() else p
+                         for p in pts])
+    cancelled = ops.to_host(ops.add(dev, inv))
+    for p, c in zip(pts, cancelled):
+        assert c.is_neutral_element() or p.is_neutral_element()
+
+
+def test_tree_reduce():
+    curve = BN254Curve
+    ops = JacobianOps(curve)
+    g = curve.generator()
+    pts = [g * k for k in (1, 2, 3, 4, 5)]
+    dev = ops.from_host(pts)
+    total = ops.to_host(ops.tree_reduce(dev))[0]
+    assert total == g * 15
+
+
+@pytest.mark.parametrize("method", ["naive", "pippenger"])
+def test_msm_matches_host_oracle(method):
+    curve = BN254Curve
+    rng = random.Random(11)
+    g = curve.generator()
+    n = 9
+    points = [g * rng.randrange(1, 1000) for _ in range(n)]
+    scalars = [rng.randrange(curve.order) for _ in range(n)]
+    scalars[3] = 0  # zero scalar
+    expected = msm_naive_host(scalars, points)
+    got = msm(curve, scalars, points, method=method)
+    assert got == expected
+
+
+def test_msm_pippenger_window_sizes():
+    curve = TestCurve1  # tiny field -> fast
+    g = curve.generator()
+    points = [g * k for k in (1, 2, 3, 4)]
+    scalars = [3, 1, 4, 2]
+    expected = msm_naive_host(scalars, points)
+    for c in (1, 2, 3):
+        got = msm(curve, scalars, points, window_size=c)
+        assert got == expected
