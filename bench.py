@@ -22,6 +22,11 @@ BASELINES_MS = {24: 4652.9, 23: 2340.1, 22: 1144.9, 21: 574.2}
 
 
 def main():
+    from lambda_elliptic_curves_tpu.utils.jax_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     from lambda_elliptic_curves_tpu.fields import Stark252 as f
     from lambda_elliptic_curves_tpu.poly import ntt
 

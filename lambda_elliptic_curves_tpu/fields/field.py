@@ -88,11 +88,11 @@ class PrimeField:
         digit array in Montgomery form."""
         vals = _as_int_array(values)
         canon = limbs.ints_to_digits_np(vals, self.params)
-        return limbs.to_mont(jnp.asarray(canon), self.params)
+        return self._jit_to_mont(jnp.asarray(canon))
 
     def to_ints(self, arr) -> np.ndarray:
         """Device Montgomery digit array -> object ndarray of Python ints."""
-        canon = limbs.from_mont(arr, self.params)
+        canon = self._jit_from_mont(arr)
         return limbs.digits_to_ints_np(np.asarray(canon), self.params)
 
     def to_elements(self, arr):
@@ -145,6 +145,14 @@ class PrimeField:
     @functools.cached_property
     def _jit_batch_inverse(self):
         return jax.jit(lambda a: limbs.batch_inverse(a, self.params))
+
+    @functools.cached_property
+    def _jit_to_mont(self):
+        return jax.jit(lambda a: limbs.to_mont(a, self.params))
+
+    @functools.cached_property
+    def _jit_from_mont(self):
+        return jax.jit(lambda a: limbs.from_mont(a, self.params))
 
     @functools.cached_property
     def _jit_pow(self):

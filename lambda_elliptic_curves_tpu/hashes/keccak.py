@@ -125,10 +125,24 @@ def _rotl64_pair(lo, hi, n: int):
     )
 
 
+_RC_TAB = np.array(
+    [[rc & 0xFFFFFFFF, rc >> 32] for rc in _ROUND_CONSTANTS], np.uint32
+)
+
+
 def keccak_f(state):
-    """Batched keccak-f[1600]: state (25, 2, *B) uint32, [.,0]=lo, [.,1]=hi."""
-    lanes = [(state[i, 0], state[i, 1]) for i in range(25)]
-    for rc in _ROUND_CONSTANTS:
+    """Batched keccak-f[1600]: state (25, 2, *B) uint32, [.,0]=lo, [.,1]=hi.
+
+    One round is ~350 elementwise ops; the 24 rounds run as a
+    ``fori_loop`` (round constants indexed from a table) so the compiled
+    graph holds a single round body.
+    """
+    import jax
+
+    rc_tab = jnp.asarray(_RC_TAB)
+
+    def round_body(r, st):
+        lanes = [(st[i, 0], st[i, 1]) for i in range(25)]
         c = []
         for x in range(5):
             lo = lanes[x][0] ^ lanes[x + 5][0] ^ lanes[x + 10][0] ^ lanes[x + 15][0] ^ lanes[x + 20][0]
@@ -153,9 +167,11 @@ def keccak_f(state):
             )
             for y in range(5) for x in range(5)
         ]
-        lanes = [lanes[x + 5 * y] for y in range(5) for x in range(5)]
-        lanes[0] = (lanes[0][0] ^ U32(rc & 0xFFFFFFFF), lanes[0][1] ^ U32(rc >> 32))
-    return jnp.stack([jnp.stack([lo, hi]) for lo, hi in lanes])
+        rc = jax.lax.dynamic_index_in_dim(rc_tab, r, 0, keepdims=False)
+        lanes[0] = (lanes[0][0] ^ rc[0], lanes[0][1] ^ rc[1])
+        return jnp.stack([jnp.stack([lo, hi]) for lo, hi in lanes])
+
+    return jax.lax.fori_loop(0, len(_ROUND_CONSTANTS), round_body, state)
 
 
 @functools.lru_cache(maxsize=64)

@@ -13,26 +13,33 @@ Unlike a CPU bignum (digit-serial loops), every primitive here is built
 from *lane-parallel* vector ops so that XLA emits a handful of large fused
 loops and zero sequential digit chains:
 
-* products: one broadcast multiply + anti-diagonal column sums via the
-  pad/reshape skew trick (no gathers, no scatters);
+* the digit axis is unrolled at trace time into plain elementwise ops over
+  the batch planes (slices of the stacked array) — no pads, reshapes or
+  concatenations survive in the hot path, so XLA fuses a whole Montgomery
+  multiply into a few kLoop fusions with O(batch) live memory;
+* products: schoolbook column sums with products shared between the two
+  columns they feed (and across the i/j symmetry when squaring);
 * Montgomery reduction: SOS form — q = T*(-p^-1) mod R as a second
   convolution, then T + q*p — instead of a serial CIOS recurrence;
-* carries/borrows: Kogge–Stone carry-lookahead over the digit axis using
-  ``lax.associative_scan`` on (generate, propagate) pairs.
+* carries/borrows: Kogge–Stone carry-lookahead over the digit axis,
+  unrolled (log2 K rounds of bitwise ops).
 
 Zero digits of the modulus are exploited statically: the q*p convolution
 walks only p's nonzero digits, which makes sparse moduli (Stark252: 3 of
 16 digits; Goldilocks: 3 of 4) much cheaper — the TPU analogue of the
-reference's spare-bit CIOS optimisation.
+reference's spare-bit CIOS optimisation.  Modulus digits enter as scalar
+constants, never materialised as arrays.
 
-Everything is pure jnp: it runs identically on CPU (tests) and TPU, compiles
-in milliseconds (op count is O(K) with tiny constants, not O(K^2)), and the
-same routines are reused verbatim inside Pallas kernel bodies.
+Everything is pure jnp: it runs identically on CPU (tests) and TPU, and the
+same routines are reused verbatim inside Pallas kernel bodies.  Column sums
+stay below 2^23 (< 2 * (2K) * 2^16 for K <= 32), which keeps every
+intermediate exact in uint32.
 """
 
 from __future__ import annotations
 
 import functools
+import math as _math
 
 import numpy as np
 import jax
@@ -94,16 +101,198 @@ def const_digits(value: int, fp: FieldParams, batch_shape=()) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# carry machinery (lane-parallel, no ripple chains)
+# digit-list core (internal): a value is a Python list of K (B,) uint32
+# arrays.  The digit axis unrolls at trace time; only batch-shaped
+# elementwise ops reach XLA.
 # ---------------------------------------------------------------------------
 
-def _lookahead_carry(g, p):
-    """Kogge–Stone carry-lookahead.
+def _unstack(a):
+    return [a[k] for k in range(a.shape[0])]
+
+
+def _int_digits(value: int, count: int):
+    digs = []
+    v = int(value)
+    for _ in range(count):
+        digs.append(v & DIGIT_MASK)
+        v >>= DIGIT_BITS
+    return digs
+
+
+def _ks_carry_l(g, p):
+    """Kogge–Stone carry-lookahead over digit lists.
 
     ``g[k]`` = digit k generates a carry, ``p[k]`` = digit k propagates
-    (all 0/1 uint32, digit axis 0).  Returns ``cin`` (carry INTO digit k)
-    and ``carry_out`` (carry out of the top digit).
+    (0/1 uint32 batch arrays).  Returns ``cin`` (carry INTO digit k) and
+    ``cout`` (carry out of the top digit).  log2(K) unrolled rounds.
     """
+    K = len(g)
+    G, P = list(g), list(p)
+    d = 1
+    while d < K:
+        G = [G[k] if k < d else G[k] | (P[k] & G[k - d]) for k in range(K)]
+        P = [P[k] if k < d else P[k] & P[k - d] for k in range(K)]
+        d *= 2
+    zero = jnp.zeros_like(G[0])
+    return [zero] + G[:-1], G[-1]
+
+
+def _resolve_l(cols):
+    """Resolve column sums (each < 2^23) into exact 16-bit digit lists.
+
+    Two local splits bring per-digit residue down to {0,1} carries, then a
+    single carry-lookahead finishes.  Any carry out of the top column is
+    DROPPED — callers append zero columns when overflow is possible.
+    """
+    d = [c & MASK for c in cols]
+    c = [x >> DIGIT_BITS for x in cols]  # < 2^7
+    v = [d[0]] + [d[k] + c[k - 1] for k in range(1, len(cols))]
+    dd = [x & MASK for x in v]
+    g = [x >> DIGIT_BITS for x in v]  # in {0,1}
+    p = [(x == MASK).astype(U32) for x in dd]
+    cin, _ = _ks_carry_l(g, p)
+    return [(dd[k] + cin[k]) & MASK for k in range(len(cols))]
+
+
+def _add_l(a, b, carry_in: int = 0):
+    """Exact digit-list addition with carry-lookahead -> (digits, cout)."""
+    v = [a[k] + b[k] for k in range(len(a))]
+    if carry_in:
+        v[0] = v[0] + ONE
+    d = [x & MASK for x in v]
+    g = [x >> DIGIT_BITS for x in v]
+    p = [(x == MASK).astype(U32) for x in d]
+    cin, cout = _ks_carry_l(g, p)
+    return [(d[k] + cin[k]) & MASK for k in range(len(a))], cout
+
+
+def _sub_l(a, b):
+    """a - b over digit lists; returns (digits mod 2^(16K), no_borrow)."""
+    comp = [MASK - x for x in b]
+    out, carry = _add_l(a, comp, carry_in=1)
+    return out, carry  # carry==1  <=>  a >= b
+
+
+def _sub_const_l(a, const_digits_int):
+    """a - c where c is a static integer digit list."""
+    comp = [MASK - U32(d) for d in const_digits_int]
+    out, carry = _add_l(a, comp, carry_in=1)
+    return out, carry
+
+
+def _add_const_l(a, const_digits_int):
+    b = [jnp.broadcast_to(U32(d), a[k].shape)
+         for k, d in enumerate(const_digits_int)]
+    return _add_l(a, b)
+
+
+def _cond_sub_p_l(digits, extra, fp: FieldParams):
+    """Value = extra*2^(16K) + digits, known < 2p.  Canonical digit list.
+
+    ``extra`` is a 0/1 batch array (or the int 0)."""
+    sub, no_borrow = _sub_const_l(digits, fp.p_digits)
+    need = no_borrow == 1
+    if not (isinstance(extra, int) and extra == 0):
+        need = need | (extra > 0)
+    return [jnp.where(need, sub[k], digits[k]) for k in range(len(digits))]
+
+
+def _conv_l(x, y):
+    """Schoolbook product column sums of two digit lists.
+
+    Returns Kx+Ky columns; column c sums lo parts of products with i+j=c
+    and hi parts with i+j=c-1.  Each product feeds exactly two columns and
+    is computed once (shared by reference; squares share the i<->j
+    symmetry).  Columns < 2*min(Kx,Ky)*2^16 <= 2^23 for K <= 32.
+    """
+    Kx, Ky = len(x), len(y)
+    same = x is y
+    prod = {}
+    for i in range(Kx):
+        for j in range(Ky):
+            if same and j < i:
+                prod[(i, j)] = prod[(j, i)]
+            else:
+                prod[(i, j)] = x[i] * y[j]
+    cols = []
+    for col in range(Kx + Ky):
+        terms = []
+        for i in range(Kx):
+            j = col - i
+            if 0 <= j < Ky:
+                terms.append(prod[(i, j)] & MASK)
+            j = col - 1 - i
+            if 0 <= j < Ky:
+                terms.append(prod[(i, j)] >> DIGIT_BITS)
+        cols.append(functools.reduce(jnp.add, terms) if terms
+                    else jnp.zeros_like(x[0]))
+    return cols
+
+
+def _conv_low_l(x, y, K):
+    """Low K columns only of ``_conv_l`` (for products taken mod R):
+    roughly halves the multiply count when only T mod R is needed."""
+    Kx, Ky = len(x), len(y)
+    prod = {}
+
+    def get(i, j):
+        if (i, j) not in prod:
+            prod[(i, j)] = x[i] * y[j]
+        return prod[(i, j)]
+
+    cols = []
+    for col in range(K):
+        terms = []
+        for i in range(Kx):
+            j = col - i
+            if 0 <= j < Ky:
+                terms.append(get(i, j) & MASK)
+            j = col - 1 - i
+            if 0 <= j < Ky:
+                terms.append(get(i, j) >> DIGIT_BITS)
+        cols.append(functools.reduce(jnp.add, terms) if terms
+                    else jnp.zeros_like(x[0]))
+    return cols
+
+
+def _conv_sparse_const_l(x, fp: FieldParams, total_len: int):
+    """Column sums of x * p for the (static) modulus p: walks only p's
+    nonzero digits, which enter as scalar constants."""
+    K = len(x)
+    terms = [[] for _ in range(total_len)]
+    for j in fp.p_nonzero_digit_idx:
+        pj = U32(fp.p_digits[j])
+        for i in range(K):
+            prod = x[i] * pj
+            terms[j + i].append(prod & MASK)
+            terms[j + i + 1].append(prod >> DIGIT_BITS)
+    return [functools.reduce(jnp.add, t) if t else jnp.zeros_like(x[0])
+            for t in terms]
+
+
+# ---------------------------------------------------------------------------
+# compact stacked core (internal): same algorithms expressed as a few dozen
+# whole-(K, *B) array ops.  ~10x fewer XLA ops than the digit-list core at
+# the cost of materialised (Kx, Ky, *B) product tensors, so it is selected
+# for SMALL batches, where compile time dominates and the temporaries are
+# cache-resident: scan bodies (Poseidon rounds, double-and-add ladders,
+# Fermat inversion), host-sized prover glue, and the CPU test suite.
+# Large batches (NTT/LDE/Merkle bulk) take the digit-list core, which
+# fuses into O(batch)-memory loop nests.
+# ---------------------------------------------------------------------------
+
+# batch sizes >= this use the digit-list (fusion-friendly) core
+_UNROLL_MIN = 1 << 13
+
+
+def _is_big(*arrs) -> bool:
+    return max(
+        _math.prod(a.shape[1:]) if a.ndim > 1 else 1 for a in arrs
+    ) >= _UNROLL_MIN
+
+
+def _lookahead_carry_c(g, p):
+    """Kogge–Stone carry-lookahead over the digit axis (stacked form)."""
     def combine(a, b):
         ga, pa = a
         gb, pb = b
@@ -115,85 +304,62 @@ def _lookahead_carry(g, p):
     return cin, G[-1]
 
 
-def _carry_resolve(cols):
-    """Resolve column sums (each < 2^22) into exact 16-bit digits.
-
-    Two local splits bring per-digit residue down to {0,1} carries, then a
-    single carry-lookahead finishes.  Any value overflowing the top column
-    is DROPPED — callers append zero columns when overflow is possible.
-    """
+def _carry_resolve_c(cols):
+    """Stacked form of :func:`_resolve_l` (columns < 2^23)."""
     d = cols & MASK
-    c = cols >> DIGIT_BITS  # < 2^6
+    c = cols >> DIGIT_BITS
     zeros = jnp.zeros_like(d[:1])
-    v = d + jnp.concatenate([zeros, c[:-1]], axis=0)  # <= 0xffff + 63
+    v = d + jnp.concatenate([zeros, c[:-1]], axis=0)
     dd = v & MASK
-    g = v >> DIGIT_BITS  # in {0,1}
+    g = v >> DIGIT_BITS
     p = (dd == MASK).astype(U32)
-    cin, _ = _lookahead_carry(g, p)
+    cin, _ = _lookahead_carry_c(g, p)
     return (dd + cin) & MASK
 
 
-def _add_digits(a, b, carry_in=0):
-    """Exact digit-vector addition with carry-lookahead.
-
-    Returns (digits, carry_out).  ``carry_in`` is a Python 0/1."""
+def _add_digits_c(a, b, carry_in=0):
     v = a + b
     if carry_in:
         v = v.at[0].add(ONE)
     d = v & MASK
     g = v >> DIGIT_BITS
     p = (d == MASK).astype(U32)
-    cin, cout = _lookahead_carry(g, p)
+    cin, cout = _lookahead_carry_c(g, p)
     return (d + cin) & MASK, cout
 
 
-def _sub_digits(a, b):
-    """a - b over digit vectors; returns (digits mod 2^(16K), no_borrow)."""
+def _sub_digits_c(a, b):
     comp = MASK - b
-    out, carry = _add_digits(a, comp, carry_in=1)
+    out, carry = _add_digits_c(a, comp, carry_in=1)
     return out, carry  # carry==1  <=>  a >= b
 
 
-def _cond_sub_p(digits, extra, fp: FieldParams):
-    """Value = extra*2^(16K) + digits, known < 2p.  Return canonical digits."""
+def _cond_sub_p_c(digits, extra, fp: FieldParams):
     pd = const_digits(fp.p, fp, digits.shape[1:])
-    sub, no_borrow = _sub_digits(digits, pd)
+    sub_, no_borrow = _sub_digits_c(digits, pd)
     need = (extra > 0) | (no_borrow == 1)
-    return jnp.where(need[None], sub, digits)
+    return jnp.where(need[None], sub_, digits)
 
-
-# ---------------------------------------------------------------------------
-# convolution (schoolbook product as columns) via the pad/reshape skew trick
-# ---------------------------------------------------------------------------
 
 def _skew_diag_sum(t):
-    """Anti-diagonal sums: ``t`` is (Kx, Ky, *B); returns (Kx+Ky-1, *B) with
-    out[c] = sum_{i+j=c} t[i, j].  Implemented by padding each row to width
-    Ky+1 so that flattening skews row i right by i, then reshaping — pure
-    pad/reshape/slice, no gathers."""
+    """Anti-diagonal sums of (Kx, Ky, *B) via the pad/reshape skew trick."""
     Kx, Ky = t.shape[0], t.shape[1]
     B = t.shape[2:]
     W = Kx + Ky - 1
     pad_width = [(0, 0)] * t.ndim
-    pad_width[1] = (0, Kx)  # row width Ky + Kx = W + 1
+    pad_width[1] = (0, Kx)
     padded = jnp.pad(t, pad_width)  # (Kx, W+1, *B)
     flat = padded.reshape((Kx * (W + 1),) + B)
     flat = flat[: Kx * W]
     return flat.reshape((Kx, W) + B).sum(axis=0, dtype=U32)
 
 
-def _conv_columns(x, y):
-    """Column sums of the product of two digit vectors.
-
-    x: (Kx, *B), y: (Ky, *B or broadcastable) with 16-bit digits.
-    Returns (Kx+Ky, *B) column sums, each < (Kx+Ky)*2^17 (safe < 2^22 for
-    K <= 24).  lo parts land at column i+j, hi parts at i+j+1.
-    """
+def _conv_columns_c(x, y):
     prod = x[:, None] * y[None, :]  # (Kx, Ky, *B) exact 16x16 in u32
     lo = prod & MASK
     hi = prod >> DIGIT_BITS
-    s_lo = _skew_diag_sum(lo)  # (Kx+Ky-1, *B), columns i+j
-    s_hi = _skew_diag_sum(hi)  # columns i+j (+1 shift below)
+    s_lo = _skew_diag_sum(lo)
+    s_hi = _skew_diag_sum(hi)
     zeros = jnp.zeros_like(s_lo[:1])
     return (
         jnp.concatenate([s_lo, zeros], axis=0)
@@ -201,17 +367,46 @@ def _conv_columns(x, y):
     )
 
 
-def _conv_columns_sparse_const(x, fp: FieldParams, total_len: int):
-    """Column sums of x * p where p is the (static) modulus: walks only p's
-    nonzero digits.  Returns (total_len, *B)."""
+def _conv_sparse_const_c(x, fp: FieldParams, total_len: int):
     K = x.shape[0]
     B = x.shape[1:]
     cols = jnp.zeros((total_len,) + tuple(B), U32)
     for j in fp.p_nonzero_digit_idx:
         prod = x * U32(fp.p_digits[j])
-        cols = cols.at[j : j + K].add(prod & MASK)
-        cols = cols.at[j + 1 : j + 1 + K].add(prod >> DIGIT_BITS)
+        cols = cols.at[j: j + K].add(prod & MASK)
+        cols = cols.at[j + 1: j + 1 + K].add(prod >> DIGIT_BITS)
     return cols
+
+
+def _mont_mul_c(a, b, fp: FieldParams):
+    """Compact-graph Montgomery product (same SOS algorithm)."""
+    K = fp.num_digits
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+
+    t_cols = _conv_columns_c(a, b)
+    t_low = _carry_resolve_c(t_cols[:K])
+    mu = jnp.asarray(np.array(_mu_full_digits(fp), np.uint32)).reshape(
+        (K,) + (1,) * len(batch)
+    )
+    q = _carry_resolve_c(_conv_columns_c(t_low, mu)[:K])
+
+    qp_cols = _conv_sparse_const_c(q, fp, 2 * K + 1)
+    low_cols = t_cols[:K] + qp_cols[:K]
+    low_ext = _carry_resolve_c(
+        jnp.concatenate(
+            [low_cols, jnp.zeros((1,) + low_cols.shape[1:], U32)], axis=0
+        )
+    )
+    low_carry = low_ext[K]
+    high_cols = (
+        jnp.concatenate(
+            [t_cols[K:], jnp.zeros((1,) + t_cols.shape[1:], U32)], axis=0
+        )
+        + qp_cols[K:]
+    )
+    high_cols = high_cols.at[0].add(low_carry)
+    u = _carry_resolve_c(high_cols)
+    return _cond_sub_p_c(u[:K], u[K], fp)
 
 
 # ---------------------------------------------------------------------------
@@ -220,16 +415,26 @@ def _conv_columns_sparse_const(x, fp: FieldParams, total_len: int):
 
 def add(a, b, fp: FieldParams):
     """Modular addition (same domain in = same domain out)."""
-    s, carry = _add_digits(a, b)
-    return _cond_sub_p(s, carry, fp)
+    a, b = jnp.broadcast_arrays(a, b)
+    if not _is_big(a):
+        s, carry = _add_digits_c(a, b)
+        return _cond_sub_p_c(s, carry, fp)
+    s, carry = _add_l(_unstack(a), _unstack(b))
+    return jnp.stack(_cond_sub_p_l(s, carry, fp))
 
 
 def sub(a, b, fp: FieldParams):
     """Modular subtraction."""
-    d, no_borrow = _sub_digits(a, b)
-    pd = const_digits(fp.p, fp, d.shape[1:])
-    fixed, _ = _add_digits(d, pd)
-    return jnp.where((no_borrow == 1)[None], d, fixed)
+    a, b = jnp.broadcast_arrays(a, b)
+    if not _is_big(a):
+        d, no_borrow = _sub_digits_c(a, b)
+        pd = const_digits(fp.p, fp, d.shape[1:])
+        fixed, _ = _add_digits_c(d, pd)
+        return jnp.where((no_borrow == 1)[None], d, fixed)
+    d, no_borrow = _sub_l(_unstack(a), _unstack(b))
+    fixed, _ = _add_const_l(d, fp.p_digits)
+    ok = no_borrow == 1
+    return jnp.stack([jnp.where(ok, d[k], fixed[k]) for k in range(len(d))])
 
 
 def neg(a, fp: FieldParams):
@@ -251,7 +456,11 @@ def select(cond, a, b):
 
 def ge(a, b, fp: FieldParams = None):
     """a >= b as integers, over the batch."""
-    _, no_borrow = _sub_digits(a, b)
+    a, b = jnp.broadcast_arrays(a, b)
+    if not _is_big(a):
+        _, no_borrow = _sub_digits_c(a, b)
+        return no_borrow == 1
+    _, no_borrow = _sub_l(_unstack(a), _unstack(b))
     return no_borrow == 1
 
 
@@ -260,11 +469,33 @@ def _mu_full_digits(fp: FieldParams) -> tuple:
     """-p^{-1} mod R as K digits (the SOS Montgomery quotient constant)."""
     r_mod = 1 << (DIGIT_BITS * fp.num_digits)
     mu = (-pow(fp.p, -1, r_mod)) % r_mod
-    digs = []
-    for _ in range(fp.num_digits):
-        digs.append(mu & DIGIT_MASK)
-        mu >>= DIGIT_BITS
-    return tuple(digs)
+    return tuple(_int_digits(mu, fp.num_digits))
+
+
+def _mont_reduce_l(t_cols, fp: FieldParams):
+    """SOS Montgomery reduction of 2K product columns -> canonical digits.
+
+    t_cols: 2K column sums of T = a*b (each < 2^23).
+    q = (T mod R) * mu mod R;  U = (T + q*p) / R < 2p;  conditional
+    subtract.  Fully lane-parallel; all modulus digits are constants.
+    """
+    K = fp.num_digits
+    t_low = _resolve_l(t_cols[:K])  # exact digits of T mod R
+    mu = [jnp.broadcast_to(U32(d), t_low[0].shape)
+          for d in _mu_full_digits(fp)]
+    q = _resolve_l(_conv_low_l(t_low, mu, K))  # q = T*mu mod R
+
+    qp_cols = _conv_sparse_const_l(q, fp, 2 * K + 1)
+    # U = T + q*p; the low K columns are ≡ 0 mod R by construction, but
+    # their carry out must flow into the high half.
+    low = [t_cols[k] + qp_cols[k] for k in range(K)]  # < 2^23 for K <= 32
+    low_ext = _resolve_l(low + [jnp.zeros_like(low[0])])
+    low_carry = low_ext[K]
+
+    high = [t_cols[K + k] + qp_cols[K + k] for k in range(K)] + [qp_cols[2 * K]]
+    high[0] = high[0] + low_carry
+    u = _resolve_l(high)  # K+1 digits, u[K] in {0,1}
+    return _cond_sub_p_l(u[:K], u[K], fp)
 
 
 def mont_mul(a, b, fp: FieldParams):
@@ -274,41 +505,19 @@ def mont_mul(a, b, fp: FieldParams):
       T = a*b;  q = (T mod R) * (-p^{-1} mod R) mod R;  U = (T + q*p) / R;
       U < 2p, one conditional subtract.
     """
-    K = fp.num_digits
-    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-
-    t_cols = _conv_columns(a, b)  # (2K, *B) columns of T
-    t_low = _carry_resolve(t_cols[:K])  # exact digits of T mod R
-    mu = jnp.asarray(np.array(_mu_full_digits(fp), np.uint32)).reshape(
-        (K,) + (1,) * len(batch)
-    )
-    q_cols = _conv_columns(t_low, mu)[:K]
-    q = _carry_resolve(q_cols)  # q = T * mu mod R, exact digits
-
-    qp_cols = _conv_columns_sparse_const(q, fp, 2 * K + 1)
-    # U = T + q*p ; low K columns are ≡ 0 mod R by construction.
-    # high half: T_high raw columns + low-half carry + qp high columns +
-    # carry out of the (low half of T + low half of qp).
-    low_cols = t_cols[:K] + qp_cols[:K]
-    # carry out of low half: resolve with one extra column
-    low_ext = _carry_resolve(
-        jnp.concatenate(
-            [low_cols, jnp.zeros((1,) + low_cols.shape[1:], U32)], axis=0
-        )
-    )
-    low_carry = low_ext[K]
-
-    high_cols = (
-        jnp.concatenate([t_cols[K:], jnp.zeros((1,) + t_cols.shape[1:], U32)], axis=0)
-        + qp_cols[K:]
-    )
-    high_cols = high_cols.at[0].add(low_carry)
-    u = _carry_resolve(high_cols)  # (K+1, *B)
-    return _cond_sub_p(u[:K], u[K], fp)
+    a, b = jnp.broadcast_arrays(a, b)
+    if not _is_big(a):
+        return _mont_mul_c(a, b, fp)
+    t_cols = _conv_l(_unstack(a), _unstack(b))
+    return jnp.stack(_mont_reduce_l(t_cols, fp))
 
 
 def mont_square(a, fp: FieldParams):
-    return mont_mul(a, a, fp)
+    if not _is_big(a):
+        return _mont_mul_c(a, a, fp)
+    al = _unstack(a)
+    t_cols = _conv_l(al, al)  # shares the i<->j symmetric products
+    return jnp.stack(_mont_reduce_l(t_cols, fp))
 
 
 def to_mont(a, fp: FieldParams):
@@ -319,10 +528,19 @@ def to_mont(a, fp: FieldParams):
 
 
 def from_mont(a, fp: FieldParams):
-    """Montgomery domain -> canonical digits (multiply by 1)."""
-    one = const_digits(1, fp, ())
-    one = one.reshape((fp.num_digits,) + (1,) * (a.ndim - 1))
-    return mont_mul(a, jnp.broadcast_to(one, a.shape), fp)
+    """Montgomery domain -> canonical digits (multiply by 1).
+
+    With b = 1 the product columns are just a's digits, so skip the
+    convolution and run the reduction directly.
+    """
+    if not _is_big(a):
+        one = const_digits(1, fp, ())
+        one = one.reshape((fp.num_digits,) + (1,) * (a.ndim - 1))
+        return _mont_mul_c(a, jnp.broadcast_to(one, a.shape), fp)
+    al = _unstack(a)
+    K = fp.num_digits
+    zeros = [jnp.zeros_like(al[0]) for _ in range(K)]
+    return jnp.stack(_mont_reduce_l(al + zeros, fp))
 
 
 def mont_pow(a, exponent: int, fp: FieldParams):
@@ -339,7 +557,7 @@ def mont_pow(a, exponent: int, fp: FieldParams):
     if len(bits) <= 16:
         result = a
         for bit in bits[1:]:
-            result = mont_mul(result, result, fp)
+            result = mont_square(result, fp)
             if bit == "1":
                 result = mont_mul(result, a, fp)
         return result
@@ -347,7 +565,7 @@ def mont_pow(a, exponent: int, fp: FieldParams):
     bit_arr = jnp.asarray(np.array([int(c) for c in bits[1:]], np.uint32))
 
     def body(acc, bit):
-        acc = mont_mul(acc, acc, fp)
+        acc = mont_square(acc, fp)
         acc = select(bit == 1, mont_mul(acc, a, fp), acc)
         return acc, None
 

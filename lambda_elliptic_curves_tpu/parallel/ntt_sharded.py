@@ -150,9 +150,4 @@ def _fft_with_root(field, x, root_int):
     """Radix-2 NTT along the last axis using an explicit primitive root
     (needed because sub-transform roots are powers of the global root, not
     the field's canonical generator)."""
-    n = x.shape[-1]
-    order = n.bit_length() - 1
-    tw = ntt.powers(field, root_int, max(n // 2, 1))
-    tw = ntt.bit_reverse_permute(tw)
-    out = ntt._fft_core(x, field, tw)
-    return ntt.bit_reverse_permute(out)
+    return ntt.fft_with_root(x, field, root_int)

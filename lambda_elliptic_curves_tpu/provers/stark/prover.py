@@ -24,6 +24,9 @@ TPU-native execution model:
 
 from __future__ import annotations
 
+import os
+import time
+
 import jax.numpy as jnp
 
 from ...fields.element import FieldElement
@@ -37,6 +40,20 @@ from .domain import Domain
 from .proof import (
     DeepPolynomialOpening, FriDecommitment, PolynomialOpenings, StarkProof,
 )
+
+
+_INSTRUMENT = bool(os.environ.get("LWT_INSTRUMENT"))
+
+
+def _mark(label: str, t0: float) -> float:
+    """Per-round wall-time prints (parity with the reference's
+    ``instruments`` feature, ``provers/stark/src/prover.rs:885-897``),
+    enabled with LWT_INSTRUMENT=1."""
+    if _INSTRUMENT:
+        now = time.perf_counter()
+        print(f"[prover] {label}: {now - t0:.3f}s", flush=True)
+        return now
+    return t0
 
 
 def _powers_host(field, base: FieldElement, count: int):
@@ -71,6 +88,7 @@ class Prover:
         N = domain.lde_size
 
         # =========================== Round 1 ===========================
+        _t = time.perf_counter()
         tpolys = ntt.interpolate_fft(f, trace.columns)  # (K, C, n)
         lde = ntt.evaluate_offset_fft(
             f, tpolys, blowup, n, domain.coset_offset
@@ -78,6 +96,7 @@ class Prover:
         lde_br = ntt.bit_reverse_permute(lde)
         main_tree = MerkleTree.build(backend, lde_br)
         transcript.append_bytes(main_tree.root)
+        _t = _mark('round1 commit', _t)
 
         rap_challenges = []
         aux_polys = aux_lde = aux_tree = None
@@ -109,6 +128,7 @@ class Prover:
             air, domain, lde_all, transition_coeffs, boundary, boundary_coeffs,
             rap_challenges,
         )
+        _t = _mark('round2 constraint eval', _t)
         h_coeffs = ntt.interpolate_offset_fft(f, ce_evals, domain.coset_offset)
         nparts = air.composition_poly_degree_bound() // n
         # break_in_parts: part i = coefficients i, i+P, i+2P, ...
@@ -125,6 +145,7 @@ class Prover:
         )  # (K, 2*nparts, N/2): first nparts rows = even, then odd
         comp_tree = MerkleTree.build(backend, comp_leaves)
         transcript.append_bytes(comp_tree.root)
+        _t = _mark('round2 commit', _t)
 
         # =========================== Round 3 ===========================
         z = transcript.sample_z_ood(domain.coset_offset, N, domain.root_order)
@@ -152,6 +173,7 @@ class Prover:
         for v in parts_ood:
             transcript.append_field_element(f(v))
 
+        _t = _mark('round3 ood', _t)
         # =========================== Round 4 ===========================
         gamma = transcript.sample_field_element()
         n_trace_terms = len(offsets) * air.step_size * num_cols
@@ -168,9 +190,11 @@ class Prover:
         # folds operate on the true degree bound
         p0 = p0[..., :n]
 
+        _t = _mark('round4 deep', _t)
         fri_roots, fri_layers, last_value = self._fri_commit(
             f, domain, p0, transcript, backend
         )
+        _t = _mark('round4 fri commit', _t)
 
         nonce = None
         if proof_options.grinding_factor > 0:
@@ -185,12 +209,14 @@ class Prover:
         ]
 
         query_list = self._fri_query(f, fri_layers, iotas)
+        _t = _mark('round4 fri query', _t)
         deep_openings = self._open_deep(
             f, backend, main_tree, aux_tree, comp_tree, lde_br,
             ntt.bit_reverse_permute(aux_lde) if aux_lde is not None else None,
             comp_leaves, iotas, nparts,
         )
 
+        _t = _mark('round4 open deep', _t)
         return StarkProof(
             trace_length=n,
             lde_trace_main_merkle_root=main_tree.root,

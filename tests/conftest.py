@@ -25,3 +25,9 @@ if "jax" in sys.modules:
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) >= 8, "tests expect 8 virtual CPU devices"
+
+from lambda_elliptic_curves_tpu.utils.jax_cache import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
