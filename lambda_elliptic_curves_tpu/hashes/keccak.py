@@ -86,7 +86,23 @@ def _keccak_f_host(lanes):
 
 
 def keccak256(data: bytes) -> bytes:
-    """Keccak-256 of a byte string (NOT sha3-256: pad byte is 0x01)."""
+    """Keccak-256 of a byte string (NOT sha3-256: pad byte is 0x01).
+
+    Dispatches to the native C implementation
+    (``lambda_elliptic_curves_tpu/native/keccak.c``) when available —
+    transcripts and Merkle path checks are sequential host work, native in
+    the reference too (the ``sha3`` crate) — with this pure-Python sponge
+    as the always-available fallback and cross-check oracle.
+    """
+    from .. import native
+
+    dig = native.keccak256(data)
+    if dig is not None:
+        return dig
+    return _keccak256_py(data)
+
+
+def _keccak256_py(data: bytes) -> bytes:
     lanes = [0] * 25
     # absorb
     padded = bytearray(data)

@@ -31,6 +31,13 @@ def is_valid_nonce(seed: bytes, nonce: int, grinding_factor: int) -> bool:
 def generate_nonce(seed: bytes, grinding_factor: int,
                    max_tries: int = 1 << 32) -> int:
     inner = _inner_hash(seed, grinding_factor)
+    from ... import native
+
+    found = native.grind(inner, grinding_factor, 0, max_tries)
+    if found is not None:
+        if found < 0:
+            raise RuntimeError("nonce not found")
+        return found
     limit = 1 << (64 - grinding_factor)
     for nonce in range(max_tries):
         digest = keccak.keccak256(inner + nonce.to_bytes(8, "big"))
