@@ -473,13 +473,23 @@ def _mu_full_digits(fp: FieldParams) -> tuple:
 
 
 def _mont_reduce_l(t_cols, fp: FieldParams):
-    """SOS Montgomery reduction of 2K product columns -> canonical digits.
+    """Montgomery reduction of 2K product columns -> canonical digits.
 
-    t_cols: 2K column sums of T = a*b (each < 2^23).
-    q = (T mod R) * mu mod R;  U = (T + q*p) / R < 2p;  conditional
-    subtract.  Fully lane-parallel; all modulus digits are constants.
+    Two strategies, picked statically by modulus sparsity:
+
+    * sparse moduli (Stark252: 3 nonzero digits of 16, Goldilocks: 3 of 4)
+      use a CIOS-style digit recurrence in carry-save form: per digit one
+      16-bit quotient and nnz(p) products added into the running columns —
+      K*(5*nnz+5) ops, ~4x fewer than SOS for Stark252.  The recurrence is
+      digit-serial but every step is a full-batch vector op, so it costs
+      depth, not lanes.
+    * dense moduli fall back to SOS: q = (T mod R) * mu as a second
+      convolution, then T + q*p.
     """
     K = fp.num_digits
+    nnz = len(fp.p_nonzero_digit_idx)
+    if nnz * 2 <= K:
+        return _mont_reduce_cios_l(t_cols, fp)
     t_low = _resolve_l(t_cols[:K])  # exact digits of T mod R
     mu = [jnp.broadcast_to(U32(d), t_low[0].shape)
           for d in _mu_full_digits(fp)]
@@ -495,6 +505,31 @@ def _mont_reduce_l(t_cols, fp: FieldParams):
     high = [t_cols[K + k] + qp_cols[K + k] for k in range(K)] + [qp_cols[2 * K]]
     high[0] = high[0] + low_carry
     u = _resolve_l(high)  # K+1 digits, u[K] in {0,1}
+    return _cond_sub_p_l(u[:K], u[K], fp)
+
+
+def _mont_reduce_cios_l(t_cols, fp: FieldParams):
+    """Carry-save CIOS reduction (sparse-modulus fast path).
+
+    Invariant at step i: value V = sum cols[c]*2^(16c) with all columns
+    below i already == 0 mod 2^16 and their carries propagated, so
+    cols[i] & 0xffff == (V / 2^16i) mod 2^16 exactly.  Then
+    q_i = cols[i]*mu16 mod 2^16 zeroes digit i of V + q_i*p.  Columns stay
+    < 2^23 + K*2^17 + 2^8 < 2^25 (u32-safe for K <= 64).
+    """
+    K = fp.num_digits
+    mu = U32(fp.mu16)
+    cols = list(t_cols)  # 2K columns
+    cols.append(jnp.zeros_like(cols[0]))  # room for the top hi part
+    for i in range(K):
+        qi = ((cols[i] & MASK) * mu) & MASK
+        for j in fp.p_nonzero_digit_idx:
+            prod = qi * U32(fp.p_digits[j])
+            cols[i + j] = cols[i + j] + (prod & MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (prod >> DIGIT_BITS)
+        # digit i is now 0 mod 2^16; move its high part up
+        cols[i + 1] = cols[i + 1] + (cols[i] >> DIGIT_BITS)
+    u = _resolve_l(cols[K:])  # K+1 digits; u[K] in {0,1}
     return _cond_sub_p_l(u[:K], u[K], fp)
 
 
