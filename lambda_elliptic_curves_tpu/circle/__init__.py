@@ -7,3 +7,6 @@ from .cfft import (  # noqa: F401
 )
 from .twiddles import get_twiddles  # noqa: F401
 from .polynomial import evaluate_cfft, interpolate_cfft  # noqa: F401
+from .cfft_device import (  # noqa: F401
+    cfft_dev, icfft_dev, evaluate_cfft_dev, interpolate_cfft_dev,
+)

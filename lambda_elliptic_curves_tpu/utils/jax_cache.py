@@ -9,17 +9,28 @@ compile a once-per-machine cost.  Called from ``tests/conftest.py`` and
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
+    """Executables serialized under one XLA context (flags, backend set)
+    can abort when deserialized under another ("target machine feature"
+    mismatch), so the cache directory is keyed by a context hash — each
+    context gets a self-consistent cache."""
     import jax
 
-    path = path or os.environ.get(
+    base = path or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".jax_cache"),
     )
+    ctx = hashlib.md5(
+        (os.environ.get("XLA_FLAGS", "")
+         + "|" + os.environ.get("JAX_PLATFORMS", "")
+         + "|" + str(jax.config.jax_platforms)).encode()
+    ).hexdigest()[:10]
+    path = os.path.join(base, ctx)
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
