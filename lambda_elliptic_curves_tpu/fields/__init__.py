@@ -13,6 +13,8 @@ from .zoo import (  # noqa: F401
     Secp256r1Field, Secp256r1Fr,
     StarkCurveFr, P448Goldilocks, BandersnatchField,
     U64TestField, F13, F17,
+    BabyBearQuadratic, BabyBearQuartic,
+    Mersenne31Complex, Mersenne31Quartic,
     BABYBEAR_PRIME, BLS12_377_ORDER, BLS12_377_PRIME, BLS12_381_ORDER,
     BLS12_381_PRIME, BN254_ORDER, BN254_PRIME, GOLDILOCKS_PRIME,
     MERSENNE31_PRIME, STARK252_PRIME, STARK_CURVE_ORDER,

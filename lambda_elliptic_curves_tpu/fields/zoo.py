@@ -209,6 +209,30 @@ F17 = PrimeField(FieldParams(name="f17", p=17, two_adicity=4, two_adic_root=3))
 F13 = PrimeField(FieldParams(name="f13", p=13, two_adicity=2, two_adic_root=5))
 
 
+# --- named extension fields ---------------------------------------------
+# BabyBear degree-4 (``fft_friendly/quartic_babybear.rs``: x^4 + 11, i.e.
+# x^4 = -11), built as the tower Fp2 = Fp[y]/(y^2 + 11), Fp4 = Fp2[z]/(z^2
+# - y): z^4 = y^2 = -11.  Coefficient mapping to the reference basis
+# {1, x, x^2, x^3}: ((a, b), (c, d)) <-> [a, c, b, d].
+from .extensions import ExtensionField  # noqa: E402
+
+BabyBearQuadratic = ExtensionField(
+    "babybear_fp2", BabyBear, BABYBEAR_PRIME - 11, 2
+)
+BabyBearQuartic = ExtensionField(
+    "babybear_fp4", BabyBearQuadratic, (0, 1), 2
+)
+
+# Mersenne31 degree-2 "complex" (i^2 = -1) and degree-4 over it with
+# non-residue 2 + i (``mersenne31/extensions.rs``).
+Mersenne31Complex = ExtensionField(
+    "mersenne31_fp2", Mersenne31, MERSENNE31_PRIME - 1, 2
+)
+Mersenne31Quartic = ExtensionField(
+    "mersenne31_fp4", Mersenne31Complex, (2, 1), 2
+)
+
+
 ALL_FIELDS = {
     f.name: f
     for f in [

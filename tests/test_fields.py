@@ -126,3 +126,23 @@ def test_montgomery_params_sanity():
         assert (pr.r * pr.r_inv) % pr.p == 1
         assert (pr.p * ((-pow(pr.p, -1, 1 << 16)) % (1 << 16))) % (1 << 16) == (-1) % (1 << 16)
         assert pr.p_digits[0] % 2 == 1
+
+
+def test_named_extension_instances():
+    """BabyBear quartic (x^4 = -11, quartic_babybear.rs) and Mersenne31
+    Fp2/Fp4 (i^2 = -1; j^2 = 2+i, mersenne31/extensions.rs) as towers."""
+    from lambda_elliptic_curves_tpu.fields import (
+        BabyBear, Mersenne31,
+        BabyBearQuartic, Mersenne31Complex, Mersenne31Quartic,
+    )
+    z = BabyBearQuartic.from_components(((0, 0), (1, 0)))
+    assert z ** 4 == BabyBearQuartic(BabyBear.p - 11)
+    i = Mersenne31Complex.from_components((0, 1))
+    assert i * i == Mersenne31Complex(Mersenne31.p - 1)
+    j = Mersenne31Quartic.from_components(((0, 0), (1, 0)))
+    assert j * j == Mersenne31Quartic.from_components(((2, 1), (0, 0)))
+    # field structure: multiplicative order divides p^4 - 1, inverses exact
+    for F, p in ((BabyBearQuartic, BabyBear.p), (Mersenne31Quartic, Mersenne31.p)):
+        x = F.from_components(((3, 5), (7, 11)))
+        assert x ** (p ** 4 - 1) == F(1)
+        assert x * x.inv() == F(1)
