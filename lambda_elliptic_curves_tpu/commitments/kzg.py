@@ -43,16 +43,64 @@ class StructuredReferenceString:
         return cls(main, [g2, g2.mul(tau)])
 
     def serialize(self) -> bytes:
-        """Uncompressed binary layout mirroring ``kzg.rs`` as_bytes: sizes
-        then points as affine (x||y) big-endian pairs."""
+        """Uncompressed binary layout (role of ``kzg.rs`` as_bytes /
+        ``from_file``, kzg.rs:40): G1 count, G1 affine (x||y) big-endian
+        pairs, then the two G2 points as Fp2 affine ((x0,x1),(y0,y1))."""
         out = bytearray()
         pts = self.powers_main_group
+        nb = pts[0].curve.field.params.num_bytes
         out += len(pts).to_bytes(4, "big")
+        out += nb.to_bytes(2, "big")
         for pt in pts:
             aff = pt.to_affine()
-            nb = pt.curve.field.params.num_bytes
             out += aff.x.to_bytes(nb, "big") + aff.y.to_bytes(nb, "big")
+        for q in self.powers_secondary_group[:2]:
+            for comp in (q.x, q.y):
+                c = comp.value if hasattr(comp, "value") else comp
+                c0, c1 = (c if isinstance(c, tuple) else (c, 0))
+                out += int(c0).to_bytes(nb, "big") + int(c1).to_bytes(nb, "big")
         return bytes(out)
+
+    @classmethod
+    def deserialize(cls, cfg: PairingConfig, data: bytes):
+        """Inverse of :meth:`serialize`."""
+        from ..utils.errors import DeserializationError
+
+        try:
+            count = int.from_bytes(data[0:4], "big")
+            nb = int.from_bytes(data[4:6], "big")
+            off = 6
+            main = []
+            for _ in range(count):
+                x = int.from_bytes(data[off:off + nb], "big")
+                y = int.from_bytes(data[off + nb:off + 2 * nb], "big")
+                off += 2 * nb
+                main.append(cfg.g1_curve.point(x, y))
+            sec = []
+            for _ in range(2):
+                comps = []
+                for _ in range(2):
+                    c0 = int.from_bytes(data[off:off + nb], "big")
+                    c1 = int.from_bytes(data[off + nb:off + 2 * nb], "big")
+                    off += 2 * nb
+                    comps.append((c0, c1))
+                sec.append(AffinePoint(cfg.fp2, cfg.fp2(comps[0]),
+                                       cfg.fp2(comps[1])))
+            if off != len(data):
+                raise ValueError("trailing bytes")
+        except (IndexError, ValueError) as exc:
+            raise DeserializationError(str(exc)) from exc
+        return cls(main, sec)
+
+    def to_file(self, path: str) -> None:
+        with open(path, "wb") as fh:
+            fh.write(self.serialize())
+
+    @classmethod
+    def from_file(cls, cfg: PairingConfig, path: str):
+        """Load an SRS from a binary file (``kzg.rs:40`` parity)."""
+        with open(path, "rb") as fh:
+            return cls.deserialize(cfg, fh.read())
 
 
 class KateZaveruchaGoldberg:

@@ -40,3 +40,18 @@ def test_batch_open_verify(kzg):
     proof = kzg.open_batch(x, ys, [p1, p2], ups)
     assert kzg.verify_batch(x, ys, [c1, c2], proof, ups)
     assert not kzg.verify_batch(x, [ys[0], ys[1] + fr(1)], [c1, c2], proof, ups)
+
+
+def test_srs_file_roundtrip(tmp_path):
+    """SRS binary file load/store (``kzg.rs:40`` from_file parity)."""
+    from lambda_elliptic_curves_tpu.commitments.kzg import (
+        StructuredReferenceString,
+    )
+    srs = StructuredReferenceString.insecure_setup(BN254Pairing, 4, tau=7)
+    path = tmp_path / "srs.bin"
+    srs.to_file(str(path))
+    back = StructuredReferenceString.from_file(BN254Pairing, str(path))
+    assert len(back.powers_main_group) == 4
+    assert all(a.to_affine().x == b.to_affine().x
+               for a, b in zip(srs.powers_main_group, back.powers_main_group))
+    assert back.powers_secondary_group[1].y == srs.powers_secondary_group[1].y
