@@ -25,8 +25,9 @@ def enable_compilation_cache(path: str | None = None) -> None:
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".jax_cache"),
     )
+    flags = " ".join(sorted(os.environ.get("XLA_FLAGS", "").split()))
     ctx = hashlib.md5(
-        (os.environ.get("XLA_FLAGS", "")
+        (flags
          + "|" + os.environ.get("JAX_PLATFORMS", "")
          + "|" + str(jax.config.jax_platforms)).encode()
     ).hexdigest()[:10]

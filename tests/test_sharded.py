@@ -46,3 +46,25 @@ def test_sharded_ntt_inverse_roundtrip(mesh):
     back = sharded_ntt(field, evals, mesh, ordering="natural", inverse=True)
     back_ints = field.to_ints(back.reshape(arr.shape[0], n))
     assert [int(v) for v in back_ints] == coeffs
+
+
+def test_sharded_msm_matches_host_oracle():
+    """Point-sharded Pippenger over the 8-device mesh vs the exact host
+    MSM, including the padding path (n not divisible by D)."""
+    import random
+
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+
+    from lambda_elliptic_curves_tpu.curves import BN254Curve
+    from lambda_elliptic_curves_tpu.curves.msm import msm_naive_host
+    from lambda_elliptic_curves_tpu.parallel.msm_sharded import sharded_msm
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    rng = random.Random(13)
+    g = BN254Curve.generator()
+    scalars = [rng.randrange(1, 10000) for _ in range(11)]
+    points = [g * rng.randrange(1, 500) for _ in range(11)]
+    got = sharded_msm(BN254Curve, scalars, points, mesh)
+    assert got == msm_naive_host(scalars, points)
