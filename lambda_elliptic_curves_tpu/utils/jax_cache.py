@@ -14,11 +14,18 @@ import os
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
-    """Executables serialized under one XLA context (flags, backend set)
-    can abort when deserialized under another ("target machine feature"
-    mismatch), so the cache directory is keyed by a context hash — each
-    context gets a self-consistent cache."""
+    """Opt-in (LWT_JAX_CACHE=1): this jaxlib's CPU executable
+    serialization writes entries stamped with compile-time pseudo-features
+    (+prefer-no-scatter/-gather) that the loader's host-feature check
+    rejects — usually a warning, but intermittently a hard abort inside
+    ``get_executable_and_time``.  Until that is fixed upstream the on-disk
+    cache defaults to OFF; in-process caching still applies.  When
+    enabled, the directory is keyed by an XLA-context hash so different
+    flag/backend contexts never share entries."""
     import jax
+
+    if os.environ.get("LWT_JAX_CACHE", "0") != "1":
+        return
 
     base = path or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
