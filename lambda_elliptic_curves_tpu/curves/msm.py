@@ -92,15 +92,17 @@ def optimum_window_size(n: int) -> int:
 
 
 def msm_pippenger(curve: WeierstrassCurve, scalar_digits, points_dev,
-                  window_size: int | None = None):
+                  window_size: int | None = None,
+                  windows_per_pass: int | None = None):
     """Bucket-method MSM over device arrays (``pippenger.rs:42`` parity).
 
-    Compile-size discipline: batched EC adds are thousands of XLA ops, so
-    everything runs through ``lax.scan`` bodies traced exactly once:
-    the per-window pipeline (sort by bucket -> segmented Hillis–Steele
-    run-sums -> scatter segment totals -> suffix-scan bucket reduction) is
-    one scan over the (windows, batch) id matrix, Horner-combining windows
-    MSB-first with c doublings per step.
+    The per-window pipeline (sort by bucket -> segmented Hillis–Steele
+    run-sums -> scatter segment totals -> suffix-scan bucket reduction)
+    is VECTORISED across windows: a pass processes a (W_pass, B) block so
+    every batched EC add runs at W_pass*B lane width — Pippenger's window
+    loop costs lanes, not time.  Passes chunk the window axis to bound
+    the gathered-points memory; windows then Horner-combine MSB-first (c
+    doublings per window) in one small scan.
     """
     ops = JacobianOps(curve)
     B = scalar_digits.shape[-1]
@@ -109,8 +111,16 @@ def msm_pippenger(curve: WeierstrassCurve, scalar_digits, points_dev,
     c = min(c, 15)  # window must fit strictly inside a pair of digits
     n_windows = -(-nbits // c)
     nbuckets = 1 << c
+    K = points_dev[0].shape[0]
 
-    # window id matrix (n_windows, B), MSB window first for Horner
+    # chunk the window axis so gathered points stay ~<= 2^25 u32 lanes
+    if windows_per_pass is None:
+        windows_per_pass = max(1, min(n_windows, (1 << 25) // max(3 * K * B, 1)))
+    wpp = windows_per_pass
+    W = -(-n_windows // wpp) * wpp  # padded to a multiple (MSB pad = zeros)
+
+    # window id matrix (W, B), most significant window first for Horner;
+    # padding windows (ids 0) contribute the neutral value
     ids = []
     for w in range(n_windows):
         start = w * c
@@ -121,49 +131,56 @@ def msm_pippenger(curve: WeierstrassCurve, scalar_digits, points_dev,
             lo = lo | (scalar_digits[digit_idx + 1]
                        << jnp.uint32(DIGIT_BITS - shift))
         ids.append(lo & jnp.uint32(nbuckets - 1))
-    id_matrix = jnp.stack(ids[::-1])  # (W, B), most significant first
+    zeros = jnp.zeros_like(ids[0])
+    ids = [zeros] * (W - n_windows) + ids[::-1]
+    id_matrix = jnp.stack(ids)  # (W, B)
 
-    neutral_b = ops.neutral((B,))
-    neutral_buckets = ops.neutral((nbuckets,))
-    n1 = ops.neutral((1,))
-    suffix_flags = jnp.zeros(nbuckets - 1, jnp.uint32).at[0].set(1)
-
-    def window_value(window):
-        order = jnp.argsort(window)
-        sorted_ids = window[order]
+    def pass_values(windows):
+        """(wpp, B) ids -> per-window totals, components (K, wpp, 1)."""
+        order = jnp.argsort(windows, axis=-1)
+        sorted_ids = jnp.take_along_axis(windows, order, axis=-1)
         pt = tuple(jnp.take(comp, order, axis=-1) for comp in points_dev)
-        pt = ops.select(sorted_ids != 0, pt, neutral_b)
+        pt = ops.select(sorted_ids != 0, pt, ops.neutral((wpp, B)))
 
+        boundary = (sorted_ids[:, 1:] != sorted_ids[:, :-1]).astype(jnp.uint32)
         seg_start = jnp.concatenate(
-            [jnp.ones((1,), jnp.uint32),
-             (sorted_ids[1:] != sorted_ids[:-1]).astype(jnp.uint32)]
-        )
+            [jnp.ones((wpp, 1), jnp.uint32), boundary], axis=-1)
         sums = ops.segmented_scan(pt, seg_start)
 
         seg_end = jnp.concatenate(
-            [sorted_ids[1:] != sorted_ids[:-1], jnp.ones((1,), bool)]
-        )
+            [boundary.astype(bool), jnp.ones((wpp, 1), bool)], axis=-1)
         idx = jnp.where(seg_end, sorted_ids, jnp.uint32(nbuckets))
+        rows = jnp.arange(wpp)[:, None]
+        neutral_buckets = ops.neutral((wpp, nbuckets + 1))
         buckets = tuple(
-            dst.at[:, idx].set(src, mode="drop")
+            dst.at[:, rows, idx].set(src, mode="drop")[..., :nbuckets]
             for dst, src in zip(neutral_buckets, sums)
         )
+        nz = ops.neutral((wpp, 1))
         buckets = tuple(
-            comp.at[:, 0].set(nc[:, 0]) for comp, nc in zip(buckets, n1)
+            comp.at[:, :, 0].set(nc[:, :, 0]) for comp, nc in zip(buckets, nz)
         )
 
         # sum_j j*B_j = sum of suffix sums S_1..S_{nb-1}: prefix-scan the
         # reversed buckets (dropping bucket 0) and tree-reduce
         rev = tuple(jnp.flip(comp, axis=-1)[..., :-1] for comp in buckets)
+        suffix_flags = jnp.broadcast_to(
+            jnp.zeros(nbuckets - 1, jnp.uint32).at[0].set(1),
+            (wpp, nbuckets - 1))
         scanned = ops.segmented_scan(rev, suffix_flags)
-        return ops.tree_reduce(scanned)
+        return ops.tree_reduce(scanned)  # (K, wpp, 1)
 
-    def horner_step(result, window):
+    chunks = [pass_values(id_matrix[i:i + wpp]) for i in range(0, W, wpp)]
+    values = tuple(jnp.concatenate(cs, axis=1) for cs in zip(*chunks))
+    # -> scan xs: (W, K, 1) per coordinate
+    xs = tuple(jnp.swapaxes(v, 0, 1) for v in values)
+
+    def horner_step(result, window_value):
         for _ in range(c):
             result = ops.double(result)
-        return ops.add(result, window_value(window)), None
+        return ops.add(result, window_value), None
 
-    result, _ = jax.lax.scan(horner_step, ops.neutral((1,)), id_matrix)
+    result, _ = jax.lax.scan(horner_step, ops.neutral((1,)), xs)
     return result
 
 

@@ -290,11 +290,12 @@ class JacobianOps:
     # log2(B) executions at runtime.
 
     def shift_down(self, pt, shift, fill=None):
-        """prev_i = pt_{i - shift} (identity-filled), dynamic shift."""
+        """prev_i = pt_{i - shift} along the last axis (identity-filled,
+        dynamic shift); works for any leading batch dims."""
         import jax
 
         n = pt[0].shape[-1]
-        fill = fill or self.neutral((n,))
+        fill = fill or self.neutral(pt[0].shape[1:])
         out = []
         for comp, fill_comp in zip(pt, fill):
             ext = jnp.concatenate([fill_comp, comp], axis=-1)
@@ -323,32 +324,34 @@ class JacobianOps:
     def segmented_scan(self, pt, seg_start):
         """Inclusive segmented prefix-sum under the group law.
 
-        ``seg_start``: (B,) uint32 1-markers for segment heads.  Returns per
-        position the running sum of its segment prefix; the last element of
-        each segment holds the segment total.  Hillis–Steele with carried
-        (value, flag) state — one scanned combine body.
+        ``seg_start``: uint32 1-markers for segment heads, shaped like the
+        batch dims of ``pt`` (i.e. ``pt[0].shape[1:]``); the scan runs
+        along the last axis.  Returns per position the running sum of its
+        segment prefix; the last element of each segment holds the segment
+        total.  Hillis–Steele with carried (value, flag) state — one
+        scanned combine body.
         """
         import jax
 
         n = pt[0].shape[-1]
         levels = max((n - 1).bit_length(), 1)
-        ones = jnp.ones((1, n), jnp.uint32)
+        ones = jnp.ones_like(seg_start)
 
         def body(carry, t):
-            (x, y, z), flags = carry
+            ptc, flags = carry
             shift = jnp.left_shift(jnp.int32(1), t)
-            prev = self.shift_down((x, y, z), shift)
+            prev = self.shift_down(ptc, shift)
             prev_flags = jax.lax.dynamic_slice_in_dim(
                 jnp.concatenate([ones, flags], axis=-1), n - shift, n,
                 axis=-1)
-            combined = self.add((x, y, z), prev)
-            keep = flags[0] == 1
-            new_pt = self.select(keep, (x, y, z), combined)
+            combined = self.add(ptc, prev)
+            keep = flags == 1
+            new_pt = self.select(keep, ptc, combined)
             new_flags = flags | prev_flags
             return (new_pt, new_flags), None
 
         (out, _), _ = jax.lax.scan(
-            body, (pt, seg_start[None, :]),
+            body, (pt, seg_start),
             jnp.arange(levels, dtype=jnp.int32),
         )
         return out
