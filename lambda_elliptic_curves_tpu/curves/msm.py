@@ -195,6 +195,13 @@ def msm(curve: WeierstrassCurve, scalars, points, window_size=None,
         raise ValueError("scalars and points must have the same length")
     if not points:
         return None
+    # pad the instance to a power of two with zero scalars (bucket 0 is
+    # dropped): MSMs of nearby sizes share one compiled program
+    n = len(scalars)
+    target = 1 << (n - 1).bit_length() if n > 1 else 1
+    if target != n:
+        scalars = list(scalars) + [0] * (target - n)
+        points = list(points) + [curve.generator()] * (target - n)
     ops = JacobianOps(curve)
     pts = ops.from_host(points)
     sc = scalars_to_digits(curve, scalars)
