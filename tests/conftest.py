@@ -31,3 +31,19 @@ from lambda_elliptic_curves_tpu.utils.jax_cache import (  # noqa: E402
 )
 
 enable_compilation_cache()
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Long single-process runs accumulate thousands of compiled
+    executables; this jaxlib's CPU backend has intermittently segfaulted
+    inside ``backend_compile_and_load`` deep into such runs.  Dropping the
+    in-process executable caches at module boundaries bounds that state
+    (at the cost of some cross-module recompiles)."""
+    yield
+    jax.clear_caches()
+    gc.collect()
