@@ -25,3 +25,10 @@ document parity, the implementations here are new.
 __version__ = "0.1.0"
 
 from . import fields  # noqa: F401
+from .fields import Stark252  # noqa: F401
+
+
+def Felt252(value):
+    """Stark252 host element constructor (``Felt252`` alias parity,
+    ``provers/stark/src/lib.rs:27``)."""
+    return Stark252(value)
