@@ -28,8 +28,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields.params import DIGIT_BITS
 from .weierstrass import JacobianOps, WeierstrassCurve
+
+# Scalars are pure bit containers (only windows/bits are ever extracted, no
+# modular arithmetic), so they always use the plain 16-bit digit layout
+# regardless of the field's kernel digit width.
+DIGIT_BITS = 16
 
 
 def scalars_to_digits(scalar_field_or_curve, scalars):
@@ -43,6 +47,8 @@ def scalars_to_digits(scalar_field_or_curve, scalars):
 
     class _Tmp:
         p = order
+        digit_bits = DIGIT_BITS
+        digit_mask = (1 << DIGIT_BITS) - 1
         num_digits = max(1, -(-order.bit_length() // DIGIT_BITS))
 
     return jnp.asarray(limbs.ints_to_digits_np(vals, _Tmp))

@@ -123,6 +123,16 @@ class FieldElement:
     def to_bytes_be(self) -> bytes:
         return self.value.to_bytes(self.field.params.num_bytes, "big")
 
+    def as_bytes(self) -> bytes:
+        """``AsBytes`` parity: the reference serializes the raw Montgomery
+        limb value x * R mod p for Montgomery-backed fields
+        (``montgomery_backed_prime_fields.rs:371``), the canonical value
+        for plain-backend fields."""
+        fp = self.field.params
+        return (self.value * fp.serialization_r % fp.p).to_bytes(
+            fp.num_bytes, "big"
+        )
+
     def to_bytes_le(self) -> bytes:
         return self.value.to_bytes(self.field.params.num_bytes, "little")
 

@@ -10,10 +10,21 @@ digit kernels.  All derived constants are computed here at Python level with
 exact integers — nothing is hardcoded except the public protocol parameters
 (modulus, two-adic generator), which are standard published values.
 
-Digit layout: an element is a little-endian vector of ``num_digits`` 16-bit
-digits held in ``uint32`` lanes; batched arrays are digit-major, i.e. shape
-``(num_digits, *batch)``, so each digit plane is a contiguous batch vector
-that tiles onto the TPU VPU (8x128 lanes) with full utilisation.
+Digit layout: an element is a little-endian vector of ``num_digits`` digits
+of ``digit_bits`` bits each, held in ``uint32`` lanes; batched arrays are
+digit-major, i.e. shape ``(num_digits, *batch)``, so each digit plane is a
+contiguous batch vector that tiles onto the TPU VPU (8x128 lanes) with full
+utilisation.
+
+Digit width is chosen per field: 16-bit digits give the fewest planes, but
+every 16x16 product must be split into lo/hi halves before the column sums
+(two extra ops per product).  With 13-bit digits the raw 26-bit products
+accumulate directly — column sums of up to K products stay below 2^32 for
+K <= 63 — removing the split entirely; the convolution needs ~25% more
+multiplies (more digits) but ~45% fewer total ops.  Fields >= 128 bits
+therefore default to the widest split-free width whose column sums fit in
+uint32; small fields (<= 4 digits) keep 16-bit digits, where the plane
+count dominates.
 """
 
 from __future__ import annotations
@@ -25,24 +36,53 @@ DIGIT_BITS = 16
 DIGIT_MASK = (1 << DIGIT_BITS) - 1
 
 
-def int_to_digits(value: int, num_digits: int) -> tuple[int, ...]:
-    """Little-endian 16-bit digits of ``value``."""
+def _auto_digit_bits(nbits: int) -> int:
+    """Default digit width.
+
+    16-bit (split-product) mode everywhere: measured on the target TPU
+    backend, a 252-bit Montgomery multiply at 13-bit digits (no lo/hi
+    split, fewer total vector ops but ~56% more uint32 multiplies) runs
+    1.8x SLOWER than 16-bit (51 ms vs 28.5 ms per 2^21-lane multiply) —
+    the u32 multiply lowers to several hardware ops, so multiply count,
+    not total op count, is the cost model.  Narrow widths (13/12-bit,
+    see :func:`narrow_digit_bits`) stay selectable per field via the
+    ``digit_bits`` parameter for hardware where the ratio differs.
+    """
+    return 16
+
+
+def narrow_digit_bits(nbits: int) -> int:
+    """Widest split-free digit width whose schoolbook column sums are exact
+    in uint32 (13 for <= ~310-bit fields, 12 up to ~700 bits)."""
+    for d in (13, 12, 11):
+        k = -(-nbits // d)
+        # conv column sum bound: K raw products, plus the same again from
+        # the q*p columns of an SOS reduction, plus fold headroom
+        if 2 * k * (2**d - 1) ** 2 + (1 << 22) < 1 << 32:
+            return d
+    return 16
+
+
+def int_to_digits(value: int, num_digits: int,
+                  bits: int = DIGIT_BITS) -> tuple[int, ...]:
+    """Little-endian ``bits``-wide digits of ``value``."""
     if value < 0:
         raise ValueError("value must be non-negative")
+    mask = (1 << bits) - 1
     digits = []
     for _ in range(num_digits):
-        digits.append(value & DIGIT_MASK)
-        value >>= DIGIT_BITS
+        digits.append(value & mask)
+        value >>= bits
     if value:
         raise ValueError("value does not fit in the given number of digits")
     return tuple(digits)
 
 
-def digits_to_int(digits) -> int:
+def digits_to_int(digits, bits: int = DIGIT_BITS) -> int:
     """Inverse of :func:`int_to_digits` (accepts any iterable of ints)."""
     value = 0
     for i, d in enumerate(digits):
-        value |= int(d) << (DIGIT_BITS * i)
+        value |= int(d) << (bits * i)
     return value
 
 
@@ -64,10 +104,23 @@ class FieldParams:
     p: int
     two_adicity: int = 0
     two_adic_root: int = 0
+    digit_bits: int = 0  # 0 = auto (see _auto_digit_bits)
+    # lambdaworks' AsBytes serializes the raw Montgomery-limb value
+    # (``montgomery_backed_prime_fields.rs:371``: value().to_bytes_be()),
+    # so byte-exact interop (Merkle leaves, Stone proofs) must use
+    # x * 2^(64*limbs) mod p.  Fields whose reference backend is a plain
+    # u32/u64 field (Goldilocks, Mersenne31) set this False.
+    serialization_montgomery: bool = True
 
     def __post_init__(self):
         if self.p < 3 or self.p % 2 == 0:
             raise ValueError("modulus must be an odd prime > 2")
+        if self.digit_bits == 0:
+            object.__setattr__(
+                self, "digit_bits", _auto_digit_bits(self.p.bit_length())
+            )
+        if not 8 <= self.digit_bits <= 16:
+            raise ValueError("digit_bits must be in [8, 16]")
         if self.two_adicity:
             root = self.two_adic_root
             if pow(root, 1 << self.two_adicity, self.p) != 1:
@@ -81,9 +134,19 @@ class FieldParams:
         return self.p.bit_length()
 
     @functools.cached_property
+    def digit_mask(self) -> int:
+        return (1 << self.digit_bits) - 1
+
+    @functools.cached_property
+    def split_products(self) -> bool:
+        """True when digit products exceed 32 bits minus column headroom and
+        must be split into lo/hi halves before accumulation (16-bit mode)."""
+        return 2 * self.digit_bits + max(1, self.num_digits).bit_length() > 32
+
+    @functools.cached_property
     def num_digits(self) -> int:
-        """Number of 16-bit digits (K)."""
-        return -(-self.nbits // DIGIT_BITS)
+        """Number of digits (K)."""
+        return -(-self.nbits // self.digit_bits)
 
     @functools.cached_property
     def num_bytes(self) -> int:
@@ -94,10 +157,10 @@ class FieldParams:
         limbs64 = -(-self.nbits // 64)
         return limbs64 * 8
 
-    # ---- Montgomery constants (R = 2^(16*K)) ---------------------------
+    # ---- Montgomery constants (R = 2^(digit_bits*K)) --------------------
     @functools.cached_property
     def r(self) -> int:
-        return pow(2, DIGIT_BITS * self.num_digits, self.p)
+        return pow(2, self.digit_bits * self.num_digits, self.p)
 
     @functools.cached_property
     def r2(self) -> int:
@@ -108,13 +171,27 @@ class FieldParams:
         return pow(self.r, self.p - 2, self.p)
 
     @functools.cached_property
-    def mu16(self) -> int:
-        """-p^{-1} mod 2^16 (digit-serial Montgomery quotient constant)."""
-        return (-pow(self.p, -1, 1 << DIGIT_BITS)) % (1 << DIGIT_BITS)
+    def mu_digit(self) -> int:
+        """-p^{-1} mod 2^digit_bits (digit-serial Montgomery quotient
+        constant; the per-digit analogue of CIOS' m, cf.
+        ``math/src/unsigned_integer/montgomery.rs:12``)."""
+        return (-pow(self.p, -1, 1 << self.digit_bits)) % (1 << self.digit_bits)
+
+    # kept under the historical name for callers written against 16-bit mode
+    mu16 = property(lambda self: self.mu_digit)
+
+    @functools.cached_property
+    def serialization_r(self) -> int:
+        """The factor lambdaworks' AsBytes bakes into serialized bytes:
+        2^(64 * limbs) mod p for Montgomery-backed reference fields
+        (their 64-bit-limb Montgomery R), 1 for plain-backend fields."""
+        if not self.serialization_montgomery:
+            return 1
+        return pow(2, 8 * self.num_bytes, self.p)
 
     @functools.cached_property
     def p_digits(self) -> tuple[int, ...]:
-        return int_to_digits(self.p, self.num_digits)
+        return int_to_digits(self.p, self.num_digits, self.digit_bits)
 
     @functools.cached_property
     def p_nonzero_digit_idx(self) -> tuple[int, ...]:

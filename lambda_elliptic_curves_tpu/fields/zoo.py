@@ -69,6 +69,9 @@ Goldilocks = PrimeField(FieldParams(
     p=GOLDILOCKS_PRIME,
     two_adicity=32,
     two_adic_root=1753635133440165772,
+    # reference backend is the plain u64 field (u64_goldilocks_field.rs):
+    # AsBytes serializes the canonical value
+    serialization_montgomery=False,
 ))
 
 MERSENNE31_PRIME = 2**31 - 1
@@ -78,6 +81,8 @@ Mersenne31 = PrimeField(FieldParams(
     p=MERSENNE31_PRIME,
     two_adicity=1,
     two_adic_root=MERSENNE31_PRIME - 1,  # order-2 root; circle FFT is used instead
+    # reference backend is the plain u32 field (mersenne31/field.rs)
+    serialization_montgomery=False,
 ))
 
 # --- pairing curve fields ----------------------------------------------------

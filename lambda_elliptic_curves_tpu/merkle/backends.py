@@ -25,21 +25,53 @@ from .tree import MerkleBackend
 U32 = jnp.uint32
 
 
+def _to_wire_form(field: PrimeField, leaves):
+    """Montgomery digit planes -> AsBytes wire-form digit planes.
+
+    lambdaworks' ``AsBytes`` serializes the raw 64-bit-limb Montgomery
+    value x * R_ref mod p (``montgomery_backed_prime_fields.rs:371``), so
+    hashing wire bytes means multiplying the canonical value by
+    ``serialization_r``.  Our internal form is x * R_int; one Montgomery
+    product by the plain constant R_ref yields x * R_ref.  When
+    R_ref == R_int (every 256/384-bit field) the internal digits already
+    ARE the wire value and this is free — the commit path skips the
+    from-Montgomery reduction entirely.
+    """
+    from ..ops import limbs
+
+    fp = field.params
+    if fp.serialization_r == fp.r:
+        return leaves
+    c = limbs.const_digits(fp.serialization_r, fp, ())
+    c = c.reshape((fp.num_digits,) + (1,) * (leaves.ndim - 1))
+    return limbs.mont_mul(leaves, jnp.broadcast_to(c, leaves.shape), fp)
+
+
 def _felt_to_le_words_be_bytes(field: PrimeField, arr):
-    """(K, *B) 16-bit digits -> (num_bytes/4, *B) uint32 little-endian words
-    of the big-endian byte serialization (ByteConversion convention)."""
+    """(K, *B) digit planes -> (num_bytes/4, *B) uint32 little-endian words
+    of the big-endian byte serialization.
+
+    Works for any digit width: byte b (bit range [8b, 8b+8)) is assembled
+    from the (at most two) digits overlapping it, with static shifts.
+    """
     nb = field.params.num_bytes
     K = field.num_digits
+    dbits = field.params.digit_bits
     words = []
     for w in range(nb // 4):
         word = jnp.zeros(arr.shape[1:], U32)
         for t in range(4):
             byte_index = nb - 1 - (4 * w + t)  # byte significance (LE index)
-            digit = byte_index // 2
-            shift = 8 * (byte_index % 2)
-            if digit < K:
-                byte = (arr[digit] >> U32(shift)) & U32(0xFF)
-                word = word | (byte << U32(8 * t))
+            byte = jnp.zeros(arr.shape[1:], U32)
+            for digit in range(byte_index * 8 // dbits,
+                               min(K, (byte_index * 8 + 8 + dbits - 1) // dbits)):
+                off = byte_index * 8 - digit * dbits  # bit offset into digit
+                if off >= 0:
+                    byte = byte | (arr[digit] >> U32(off))
+                else:
+                    byte = byte | (arr[digit] << U32(-off))
+            byte = byte & U32(0xFF)
+            word = word | (byte << U32(8 * t))
         words.append(word)
     return jnp.stack(words)
 
@@ -86,10 +118,8 @@ class KeccakFieldBackend(MerkleBackend):
         self.field = field
 
     def hash_leaves(self, leaves):
-        from ..ops import limbs
-
-        canonical = limbs.from_mont(leaves, self.field.params)
-        words = _felt_to_le_words_be_bytes(self.field, canonical)
+        wire = _to_wire_form(self.field, leaves)
+        words = _felt_to_le_words_be_bytes(self.field, wire)
         return keccak.keccak256_words(words, self.field.params.num_bytes)
 
     def hash_parents(self, level):
@@ -114,8 +144,7 @@ class KeccakFieldBackend(MerkleBackend):
         return keccak.digest_words_to_bytes(nodes)
 
     def hash_leaf_host(self, value):
-        fe = self.field(value)
-        return keccak.keccak256(fe.to_bytes_be())
+        return keccak.keccak256(self.field(value).as_bytes())
 
     def hash_parent_host(self, left: bytes, right: bytes):
         return keccak.keccak256(left + right)
@@ -127,16 +156,14 @@ class KeccakBatchBackend(KeccakFieldBackend):
 
     def hash_leaves(self, leaves):
         """``leaves``: (K, ncols, B) Montgomery digits; row b serializes as
-        col0||col1||...  in big-endian bytes."""
-        from ..ops import limbs
-
+        col0||col1||...  in big-endian AsBytes (wire-form) bytes."""
         K, ncols = leaves.shape[0], leaves.shape[1]
-        canonical = limbs.from_mont(
-            leaves.reshape(K, -1), self.field.params
+        wire = _to_wire_form(
+            self.field, leaves.reshape(K, -1)
         ).reshape(leaves.shape)
         words = jnp.concatenate(
             [
-                _felt_to_le_words_be_bytes(self.field, canonical[:, c])
+                _felt_to_le_words_be_bytes(self.field, wire[:, c])
                 for c in range(ncols)
             ],
             axis=0,
@@ -144,5 +171,5 @@ class KeccakBatchBackend(KeccakFieldBackend):
         return keccak.keccak256_words(words, self.field.params.num_bytes * ncols)
 
     def hash_leaf_host(self, row):
-        data = b"".join(self.field(v).to_bytes_be() for v in row)
+        data = b"".join(self.field(v).as_bytes() for v in row)
         return keccak.keccak256(data)

@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 
 from ..fields.field import PrimeField
-from ..fields.params import DIGIT_BITS as DIGIT_BITS_
 from ..utils.errors import FFTError
 
 
@@ -71,7 +70,27 @@ def _powers_runner(field: PrimeField, logc: int, count: int):
     return jax.jit(run)
 
 
-@functools.lru_cache(maxsize=512)
+def _tracing_active() -> bool:
+    """True when called during a jax trace (jit/scan/...).
+
+    Twiddle-table helpers must not CACHE results computed under a trace
+    (they would leak tracers), and must not REPLAY concrete cached arrays
+    into a trace either: a multi-megabyte table would be embedded into
+    the module as a literal constant (the tunneled TPU backend rejects
+    such modules — HTTP 413 on remote compile).  In-graph recomputation
+    is cheap: the powers ladder is O(log n) fused passes.
+    """
+    try:
+        from jax._src import core as _core
+
+        return not isinstance(_core.trace_ctx.trace, _core.EvalTrace)
+    except Exception:
+        return True  # conservative: never cache if we cannot tell
+
+
+_powers_cache: dict = {}
+
+
 def powers(field: PrimeField, base_int: int, count: int, offset_int: int = 1):
     """Montgomery digit array (K, count) of offset * base^i, i in 0..count.
 
@@ -82,10 +101,17 @@ def powers(field: PrimeField, base_int: int, count: int, offset_int: int = 1):
     count, O(count * log count) lane-parallel multiplies (the SPMD
     replacement for the reference's sequential successor scan,
     ``roots_of_unity.rs:34``).
+
+    Results are cached only for eager calls; under a trace the (small)
+    ladder graph is emitted inline — see :func:`_tracing_active`.
     """
     p = field.p
     if count <= 1:
         return field.constant(offset_int % p, (max(count, 1),))
+    tracing = _tracing_active()
+    key = (field, base_int, count, offset_int)
+    if not tracing and key in _powers_cache:
+        return _powers_cache[key]
     logc = (count - 1).bit_length()
     fp = field.params
     # base^(2^j) in Montgomery form, as a (K, logc) host constant table
@@ -93,9 +119,12 @@ def powers(field: PrimeField, base_int: int, count: int, offset_int: int = 1):
     for j in range(logc):
         v = (pow(base_int, 1 << j, p) * fp.r) % p
         for k in range(fp.num_digits):
-            tab[k, j] = (v >> (DIGIT_BITS_ * k)) & ((1 << DIGIT_BITS_) - 1)
+            tab[k, j] = (v >> (fp.digit_bits * k)) & fp.digit_mask
     acc = field.constant(offset_int % p, (count,))
-    return _powers_runner(field, logc, count)(jnp.asarray(tab), acc)
+    out = _powers_runner(field, logc, count)(jnp.asarray(tab), acc)
+    if not tracing:
+        _powers_cache[key] = out
+    return out
 
 
 def get_powers_of_primitive_root(field: PrimeField, order: int, count: int,
@@ -142,10 +171,13 @@ _FOUR_STEP_MIN = 1 << 14
 
 def _local_twiddles(field: PrimeField, root_int: int, n: int):
     key = (field, root_int, n)
-    if key not in _tw_cache:
-        tw = powers(field, root_int, max(n // 2, 1))
-        _tw_cache[key] = bit_reverse_permute(tw)
-    return _tw_cache[key]
+    tracing = _tracing_active()
+    if not tracing and key in _tw_cache:
+        return _tw_cache[key]
+    tw = bit_reverse_permute(powers(field, root_int, max(n // 2, 1)))
+    if not tracing:
+        _tw_cache[key] = tw
+    return tw
 
 
 def _twiddle_matrix(field: PrimeField, root_int: int, n2: int, n1: int):
@@ -153,21 +185,25 @@ def _twiddle_matrix(field: PrimeField, root_int: int, n2: int, n1: int):
     the four-step split, built by log2(N1) doubling steps over the column
     vector of w^j2 (cached per field/root/size)."""
     key = (field, root_int, n2, n1)
-    if key not in _mat_cache:
-        base = powers(field, root_int, n2)  # (K, N2): w^j2
-        acc = field.ones((n2, 1))
-        step = base[..., None]
-        built = 1
-        while built < n1:
-            nxt = field.mul(acc, jnp.broadcast_to(step, acc.shape))
-            acc = jnp.concatenate([acc, nxt], axis=-1)
-            step = field.square(step)
-            built *= 2
-        _mat_cache[key] = acc[..., :n1]
-    return _mat_cache[key]
+    tracing = _tracing_active()
+    if not tracing and key in _mat_cache:
+        return _mat_cache[key]
+    base = powers(field, root_int, n2)  # (K, N2): w^j2
+    acc = field.ones((n2, 1))
+    step = base[..., None]
+    built = 1
+    while built < n1:
+        nxt = field.mul(acc, jnp.broadcast_to(step, acc.shape))
+        acc = jnp.concatenate([acc, nxt], axis=-1)
+        step = field.square(step)
+        built *= 2
+    out = acc[..., :n1]
+    if not tracing:
+        _mat_cache[key] = out
+    return out
 
 
-def fft_with_root(x, field: PrimeField, root_int: int):
+def fft_with_root(x, field: PrimeField, root_int: int, canonical: bool = True):
     """Natural-order transform along the last axis with an explicit
     primitive root (any power-of-two length, any batch dims).
 
@@ -176,10 +212,15 @@ def fft_with_root(x, field: PrimeField, root_int: int):
     (the single-chip analogue of the sharded NTT's all-to-all,
     ``parallel/ntt_sharded.py``); local transforms use the constant-geometry
     network of :func:`_fft_pease`.
+
+    With ``canonical=False`` the result may be a lazy representative:
+    returns ``(y, value_bound)`` and skips the final reduction passes
+    (used by :func:`ifft`, whose n^-1 scaling multiply canonicalises for
+    free).
     """
     n = x.shape[-1]
     if n <= _FOUR_STEP_MIN:
-        return _fft_pease(x, field, root_int)
+        return _fft_pease(x, field, root_int, canonical)
 
     log_n = n.bit_length() - 1
     log_n1 = (log_n + 1) // 2
@@ -190,17 +231,80 @@ def fft_with_root(x, field: PrimeField, root_int: int):
 
     xm = x.reshape((K,) + batch + (n1, n2))
     xt = jnp.swapaxes(xm, -1, -2)  # (..., j2, j1)
-    a = fft_with_root(xt, field, pow(root_int, n2, field.p))  # A[j2, k1]
+    # the cross-twiddle multiply is a strict Montgomery product, which
+    # canonicalises lazy local-transform output for free
+    a, _ = fft_with_root(xt, field, pow(root_int, n2, field.p),
+                         canonical=False)  # A[j2, k1], lazy
     t = _twiddle_matrix(field, root_int, n2, n1)
     t = t.reshape((K,) + (1,) * len(batch) + (n2, n1))
     b = field.mul(a, t)
     bt = jnp.swapaxes(b, -1, -2)  # (..., k1, j2)
-    c = fft_with_root(bt, field, pow(root_int, n1, field.p))  # C[k1, k2]
+    c, c_bound = fft_with_root(bt, field, pow(root_int, n1, field.p),
+                               canonical=False)  # C[k1, k2], lazy
     out = jnp.swapaxes(c, -1, -2)  # (..., k2, k1): flatten = k2*N1 + k1
-    return out.reshape((K,) + batch + (n,))
+    out = out.reshape((K,) + batch + (n,))
+    if canonical:
+        return _canonicalize(out, c_bound, field.params)
+    return out, c_bound
 
 
-def _fft_pease(x, field: PrimeField, root_int: int):
+@functools.lru_cache(maxsize=None)
+def _jit_lazy_ops(fp, inv: int, red: int):
+    """Cached jitted lazy butterfly kernels for one (field, invariant).
+
+    Wrapping each op in its own ``jax.jit`` is load-bearing beyond
+    dispatch caching: under an outer trace a jitted closure lowers to ONE
+    shared XLA subcomputation per shape, while inlining the digit-kernel
+    graph at every call site would multiply the serialized module size
+    (the tunneled backend rejects oversized modules on remote compile).
+    """
+    from ..ops import limbs
+
+    p = fp.p
+    wb_bound = (p * inv) // (1 << (fp.digit_bits * fp.num_digits)) + p + 1
+    return {
+        "mul": jax.jit(
+            lambda w, b: limbs.mont_mul_lazy(w, b, fp, p * inv)[0]
+        ),
+        "add": jax.jit(
+            lambda a, wb: limbs.add_raw(a, wb, fp, inv + wb_bound)
+        ),
+        "sub": jax.jit(
+            lambda a, wb: limbs.sub_offset_raw(a, wb, 2 * p, fp, inv + 2 * p)
+        ),
+        "csub": jax.jit(lambda x: limbs.cond_sub_const(x, red, fp)),
+        "peel_add": jax.jit(lambda a, b: limbs.add_raw(a, b, fp, 2 * p)),
+        "peel_sub": jax.jit(
+            lambda a, b: limbs.sub_offset_raw(a, b, p, fp, 2 * p)
+        ),
+    }
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_cond_sub(fp, c_value: int):
+    from ..ops import limbs
+
+    return jax.jit(lambda x: limbs.cond_sub_const(x, c_value, fp))
+
+
+def _lazy_tier(fp) -> int:
+    """How much reduction laziness the field's digit headroom allows.
+
+    2: R >= 8p — butterfly values ride in [0, 4p), conditional subtracts
+       batched per PAIR of stages (Stark252-class fields).
+    1: R >= 4p — values in [0, 2p), one conditional subtract per branch
+       per stage; the multiplier's final subtract is still skipped.
+    0: no headroom (Goldilocks/BabyBear-class where p ~ R) — strict ops.
+    """
+    r = 1 << (fp.digit_bits * fp.num_digits)
+    if r >= 8 * fp.p:
+        return 2
+    if r > 4 * fp.p:
+        return 1
+    return 0
+
+
+def _fft_pease(x, field: PrimeField, root_int: int, canonical: bool = True):
     """Natural-order transform along the last axis with an explicit
     primitive root (any power-of-two length, any batch dims).
 
@@ -222,10 +326,25 @@ def _fft_pease(x, field: PrimeField, root_int: int):
     transpose -> flatten.  After S stages the array is back in natural
     index order holding the bit-reversed spectrum; one static bit-reverse
     gather finishes.
+
+    Performance structure on top of that network:
+
+    * stage 0 is peeled — its twiddle is identically 1, so the butterfly
+      is a plain add/sub (one full-width Montgomery multiply saved);
+    * where the field's digit capacity R = 2^(bits*K) has headroom over p
+      (``_lazy_tier``), butterflies run on *lazy representatives*: the
+      Montgomery multiply accepts any K-digit operand (twiddles stay
+      canonical) and always emits < 2p with its final subtract skipped,
+      and the add/sub branches only reduce back under 4p once per pair of
+      stages.  All value bounds are static Python ints asserted at trace
+      time; a final canonicalisation keeps the public results bit-exact.
     """
     n = x.shape[-1]
+    fp = field.params
     if n == 1:
-        return x
+        return x if canonical else (x, fp.p)
+    from ..ops import limbs
+
     K = x.shape[0]
     batch = x.shape[1:-1]
     stages = n.bit_length() - 1
@@ -234,21 +353,89 @@ def _fft_pease(x, field: PrimeField, root_int: int):
     lane = jax.lax.broadcasted_iota(jnp.uint32, (1, h), 1)  # (1, h)
     bshape = (1,) * len(batch)
 
-    def body(s, y):
-        a = y[..., :h]
-        b = y[..., h:]
-        idx = (lane & ((jnp.uint32(1) << s.astype(jnp.uint32)) - 1))[0]
-        w = jnp.take(tw_br, idx, axis=-1)  # (K, h)
-        w = w.reshape((K,) + bshape + (h,))
-        wb = field.mul(w, b)
-        y = jnp.concatenate([field.add(a, wb), field.sub(a, wb)], axis=-1)
+    def shuffle(y):
         # perfect shuffle: y[v] <- y[rotr(v, 1)]
         y = y.reshape((K,) + batch + (2, h))
         y = jnp.swapaxes(y, -1, -2)
         return y.reshape((K,) + batch + (n,))
 
-    y = jax.lax.fori_loop(0, stages, body, x)
-    return bit_reverse_permute(y)
+    tier = _lazy_tier(fp)
+    p = fp.p
+    r_cap = 1 << (fp.digit_bits * fp.num_digits)
+
+    # ---- strict fallback (no digit headroom over p) ----------------------
+    if tier == 0:
+        def body(s, y):
+            a = y[..., :h]
+            b = y[..., h:]
+            idx = (lane & ((jnp.uint32(1) << s.astype(jnp.uint32)) - 1))[0]
+            w = jnp.take(tw_br, idx, axis=-1).reshape((K,) + bshape + (h,))
+            wb = field.mul(w, b)
+            return shuffle(
+                jnp.concatenate([field.add(a, wb), field.sub(a, wb)], axis=-1)
+            )
+
+        a0, b0 = x[..., :h], x[..., h:]
+        y = shuffle(
+            jnp.concatenate([field.add(a0, b0), field.sub(a0, b0)], axis=-1)
+        )
+        y = jax.lax.fori_loop(1, stages, body, y)
+        y = bit_reverse_permute(y)
+        return y if canonical else (y, fp.p)
+
+    # ---- lazy path -------------------------------------------------------
+    def tw(s_traced):
+        idx = (lane & ((jnp.uint32(1) << s_traced.astype(jnp.uint32)) - 1))[0]
+        return jnp.take(tw_br, idx, axis=-1).reshape((K,) + bshape + (h,))
+
+    # single-stage loop with one conditional 2p-subtract per branch per
+    # stage.  (A pair-fused variant halving the subtracts exists in git
+    # history but doubles the fori_loop body; the tunnel backend rejects
+    # modules that large — HTTP 413 on remote compile.)
+    # tier 2 (R > 8p): invariant < 4p; tier 1 (R > 4p): invariant < 2p.
+    inv = 4 * p if tier == 2 else 2 * p
+    red = 2 * p
+
+    # check stability with exact ints
+    wb_b = (p * inv) // r_cap + p + 1
+    assert wb_b <= 2 * p and p * inv < r_cap * p
+    assert max(red, max(inv + wb_b, inv + 2 * p) - red) <= inv
+    assert max(inv + wb_b, inv + 2 * p) < r_cap
+    ops = _jit_lazy_ops(fp, inv, red)
+
+    # peel stage 0 (w == 1): canonical inputs -> values < 2p <= inv
+    a0, b0 = x[..., :h], x[..., h:]
+    y = shuffle(jnp.concatenate(
+        [ops["peel_add"](a0, b0), ops["peel_sub"](a0, b0)], axis=-1))
+
+    def body(s, y):
+        a = y[..., :h]
+        b = y[..., h:]
+        w = jnp.broadcast_to(tw(s), a.shape)
+        wb = ops["mul"](w, b)
+        s_add = ops["csub"](ops["add"](a, wb))
+        s_sub = ops["csub"](ops["sub"](a, wb))
+        return shuffle(jnp.concatenate([s_add, s_sub], axis=-1))
+
+    y = jax.lax.fori_loop(1, stages, body, y)
+    bound = inv
+
+    if canonical:
+        return bit_reverse_permute(_canonicalize(y, bound, fp))
+    return bit_reverse_permute(y), bound
+
+
+def _canonicalize(y, bound: int, fp):
+    """Reduce lazy representatives < ``bound`` to canonical [0, p) by
+    conditionally subtracting power-of-two multiples of p (value mod p is
+    preserved at every step)."""
+    p = fp.p
+    while bound > p:
+        k = ((bound + p - 1) // p - 1).bit_length() - 1
+        c = p << k  # p*2^k < bound <= p*2^(k+1)
+        y = _jit_cond_sub(fp, c)(y)
+        bound = max(c, bound - c)
+    return y
 
 
 def _fft_core(x, field: PrimeField, twiddles_br):
@@ -304,7 +491,11 @@ def ifft(evals, field: PrimeField):
             f"{field.name}: order {order} exceeds two-adicity {field.two_adicity}"
         )
     root = field.params.primitive_root_of_unity(order)
-    out = fft_with_root(evals, field, pow(root, field.p - 2, field.p))
+    # lazy transform output: the strict n^-1 scaling multiply reduces the
+    # representatives back to canonical for free
+    out, _bound = fft_with_root(
+        evals, field, pow(root, field.p - 2, field.p), canonical=False
+    )
     n_inv = field.constant(pow(n, field.p - 2, field.p), ())
     n_inv = n_inv.reshape((out.shape[0],) + (1,) * (out.ndim - 1))
     return field.mul(out, jnp.broadcast_to(n_inv, out.shape))

@@ -146,3 +146,52 @@ def test_named_extension_instances():
         x = F.from_components(((3, 5), (7, 11)))
         assert x ** (p ** 4 - 1) == F(1)
         assert x * x.inv() == F(1)
+
+
+def test_narrow_digit_width_cores():
+    """The digit kernels are parametric in digit width: 13/12-bit modes
+    accumulate raw products without the lo/hi split (kept selectable for
+    hardware where u32 multiplies are cheap — see params._auto_digit_bits).
+    Exercises both the compact and the big-batch digit-list cores against
+    the integer oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from lambda_elliptic_curves_tpu.fields.params import (
+        FieldParams, narrow_digit_bits,
+    )
+    from lambda_elliptic_curves_tpu.fields.zoo import (
+        STARK252_PRIME, BLS12_381_PRIME,
+    )
+    from lambda_elliptic_curves_tpu.ops import limbs
+
+    rng = random.Random(7)
+    # (the BLS12-381 K=30 big-batch graph compiles for minutes on a 1-core
+    # host, so the digit-list core is exercised on Stark252 only)
+    for prime, name, batches in (
+        (STARK252_PRIME, "s252", (9, 1 << 13)),
+        (BLS12_381_PRIME, "b381", (9,)),
+    ):
+        d = narrow_digit_bits(prime.bit_length())
+        assert d < 16
+        fp = FieldParams(name=f"{name}_narrow", p=prime, digit_bits=d)
+        assert not fp.split_products
+        for batch in batches:  # compact core / digit-list core
+            xs = [rng.randrange(prime) for _ in range(batch - 3)] + [
+                0, 1, prime - 1]
+            ys = [rng.randrange(prime) for _ in range(batch - 3)] + [
+                prime - 1, 1, prime - 1]
+            am = jnp.asarray(
+                limbs.ints_to_digits_np([x * fp.r % prime for x in xs], fp))
+            bm = jnp.asarray(
+                limbs.ints_to_digits_np([y * fp.r % prime for y in ys], fp))
+            mul = limbs.digits_to_ints_np(
+                np.asarray(jax.jit(
+                    lambda a, b, fp=fp: limbs.mont_mul(a, b, fp))(am, bm)), fp)
+            fm = limbs.digits_to_ints_np(
+                np.asarray(jax.jit(
+                    lambda a, fp=fp: limbs.from_mont(a, fp))(am)), fp)
+            check = rng.sample(range(batch), 40) if batch > 64 else range(batch)
+            for i in check:
+                assert int(mul[i]) == xs[i] * ys[i] * fp.r % prime
+                assert int(fm[i]) == xs[i]
