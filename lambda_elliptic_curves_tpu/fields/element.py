@@ -33,20 +33,29 @@ class FieldElement:
 
     # -- arithmetic -----------------------------------------------------
     def _coerce(self, other):
+        """Coerce to a same-field element, or None for foreign types so the
+        operator returns NotImplemented and Python dispatches to the other
+        operand (e.g. ``felt * Polynomial`` -> ``Polynomial.__rmul__``)."""
         if isinstance(other, FieldElement):
             if other.field.p != self.field.p:
                 return other  # let extension logic lift
             return other
-        return self.field(other)
+        if isinstance(other, (int, str)):
+            return self.field(other)
+        return None
 
     def __add__(self, other):
         other = self._coerce(other)
+        if other is None:
+            return NotImplemented
         return FieldElement(self.field, self.field.host_add(self.value, other.value))
 
     __radd__ = __add__
 
     def __sub__(self, other):
         other = self._coerce(other)
+        if other is None:
+            return NotImplemented
         return FieldElement(self.field, self.field.host_sub(self.value, other.value))
 
     def __rsub__(self, other):
@@ -54,6 +63,8 @@ class FieldElement:
 
     def __mul__(self, other):
         other = self._coerce(other)
+        if other is None:
+            return NotImplemented
         return FieldElement(self.field, self.field.host_mul(self.value, other.value))
 
     __rmul__ = __mul__
@@ -63,6 +74,8 @@ class FieldElement:
 
     def __truediv__(self, other):
         other = self._coerce(other)
+        if other is None:
+            return NotImplemented
         return self * other.inv()
 
     def __rtruediv__(self, other):

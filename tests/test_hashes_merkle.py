@@ -102,8 +102,11 @@ def test_merkle_keccak_field_backend():
     assert isinstance(tree.root, bytes) and len(tree.root) == 32
     for i, v in enumerate(values):
         assert tree.get_proof_by_pos(i).verify(backend, tree.root, i, v)
-    # leaf hash matches host serialization convention
-    assert tree.levels[0][0] == keccak.keccak256(f(10).to_bytes_be())
+    # leaf hash matches the host AsBytes wire convention (the reference
+    # hashes raw Montgomery-limb bytes — montgomery_backed_prime_fields.rs:371)
+    assert tree.levels[0][0] == keccak.keccak256(f(10).as_bytes())
+    assert f(10).as_bytes() == (
+        (10 * f.params.serialization_r % f.p).to_bytes(32, "big"))
 
 
 def test_merkle_keccak_batch_backend():
