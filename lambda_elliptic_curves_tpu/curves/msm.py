@@ -90,6 +90,123 @@ def msm_double_and_add(curve: WeierstrassCurve, scalar_digits, points_dev):
     return ops.tree_reduce(acc)
 
 
+def bucket_accumulate_chunked(ops, sorted_ids, pt, nbuckets: int, rows: int):
+    """Sorted (W, B) ids + points -> (K, W, nbuckets+1) bucket totals
+    (slot ``nbuckets`` is the dump slot for invalid records).
+
+    The sorted batch is viewed as (C columns) x (``rows`` rows); a serial
+    scan over the rows costs one C-wide group add per row — ~1 add per
+    point in total — instead of the log2(B) full-width adds of a
+    Hillis–Steele segmented scan.
+
+    Phase A: the scan; a column accumulates its run of equal ids, emitting
+    a *flush record* (the completed segment's total) at each id change.
+    Interior flushes are complete bucket sums.  The first segment and the
+    last (running) segment of each column may continue across column
+    boundaries.
+
+    Phase B: a short segmented scan over the C columns chains the
+    last-segment partials A_j of consecutive columns that belong to one
+    bucket (links pass only through boundary-free columns), completing
+    exactly one record per bucket:
+      * interior flushes                          (complete in phase A)
+      * first-flush of a column   F_j + chained prefix P_{j-1}
+      * chain-end totals P_j wherever the next column doesn't continue
+    All completed records target distinct buckets, so assembling them is a
+    scatter-set, never a scatter-add.
+
+    ``ops`` provides the group law surface (neutral/add/select/
+    segmented_scan/shift_down over component tuples) — JacobianOps for EC
+    points; any associative op with those methods works (the tests drive
+    it with plain integer sums).
+    """
+    W, B = sorted_ids.shape
+    K = pt[0].shape[0]
+    L = rows
+    C = B // L
+    # element i = j*L + t  ->  column j, row t
+    ids_v = sorted_ids.reshape(W, C, L)
+    pt_v = tuple(comp.reshape(K, W, C, L) for comp in pt)
+
+    first_id = ids_v[..., 0]  # (W, C)
+
+    init_acc = tuple(comp[..., 0] for comp in pt_v)  # (K, W, C)
+    init = (init_acc, first_id, jnp.zeros((W, C), jnp.uint32))
+
+    def body(carry, t):
+        acc, acc_id, seen = carry
+        cur_id = jnp.take(ids_v, t, axis=-1)
+        cur_pt = tuple(jnp.take(comp, t, axis=-1) for comp in pt_v)
+        same = cur_id == acc_id
+        flush_valid = ~same
+        is_first = flush_valid & (seen == 0)
+        flush_pt = ops.select(flush_valid, acc, ops.neutral((W, C)))
+        new_acc = ops.select(same, ops.add(acc, cur_pt), cur_pt)
+        new_seen = seen | flush_valid.astype(jnp.uint32)
+        ys = (flush_pt, acc_id, flush_valid, is_first)
+        return (new_acc, cur_id, new_seen), ys
+
+    (acc, last_id, seen), ys = jax.lax.scan(body, init, jnp.arange(1, L))
+    flush_pt, flush_id, flush_valid, flush_first = ys
+    # flush_pt: tuple of (L-1, K, W, C); ids/flags: (L-1, W, C)
+
+    # ---- phase B: chain last-segment partials across columns ----
+    has_bnd = seen == 1
+    prev_last = jnp.concatenate([last_id[:, :1], last_id[:, :-1]], axis=-1)
+    cont = jnp.concatenate(
+        [jnp.zeros((W, 1), bool), (prev_last == first_id)[:, 1:]],
+        axis=-1)  # c_j: column j's first segment continues column j-1's last
+    link = cont & ~has_bnd
+    P = ops.segmented_scan(acc, (~link).astype(jnp.uint32))
+    P_prev = ops.shift_down(P, 1)
+
+    # F_j = the first flush of column j (sparse over the L axis)
+    F = ops.neutral((W, C))
+    F_taken = jnp.zeros((W, C), bool)
+    for t in range(L - 1):
+        take = flush_first[t] & ~F_taken
+        F = ops.select(take, tuple(comp[t] for comp in flush_pt), F)
+        F_taken = F_taken | take
+    prefix = ops.select(cont, P_prev, ops.neutral((W, C)))
+    first_total = ops.add(F, prefix)
+
+    rows_w = jnp.arange(W)[:, None]
+    dump = jnp.uint32(nbuckets)
+    buckets = ops.neutral((W, nbuckets + 1))
+
+    # (a) interior flushes (complete): scatter-set
+    int_valid = flush_valid & ~flush_first  # (L-1, W, C)
+    int_ids = jnp.where(int_valid, flush_id, dump)
+    int_ids_f = jnp.swapaxes(int_ids, 0, 1).reshape(W, -1)
+    flush_major = tuple(
+        jnp.moveaxis(comp, 0, 2).reshape(comp.shape[1], W, -1)
+        for comp in flush_pt
+    )
+    buckets = tuple(
+        dst.at[:, rows_w, int_ids_f].set(src, mode="drop")
+        for dst, src in zip(buckets, flush_major)
+    )
+
+    # (b) first-flush completions at columns with a boundary
+    fid = jnp.where(has_bnd, first_id, dump)
+    buckets = tuple(
+        dst.at[:, rows_w, fid].set(src, mode="drop")
+        for dst, src in zip(buckets, first_total)
+    )
+
+    # (c) chain-end totals: wherever the NEXT column does not continue the
+    # running bucket (or at the array end), the chain sum P_j completes
+    # bucket last_id_j
+    next_cont = jnp.concatenate(
+        [cont[:, 1:], jnp.zeros((W, 1), bool)], axis=-1)
+    end_ids = jnp.where(~next_cont, last_id, dump)
+    buckets = tuple(
+        dst.at[:, rows_w, end_ids].set(src, mode="drop")
+        for dst, src in zip(buckets, P)
+    )
+    return buckets
+
+
 def optimum_window_size(n: int) -> int:
     """4 + log2(n)*4/5, the reference's auto-tune (``pippenger.rs:34``)."""
     import math
@@ -99,7 +216,8 @@ def optimum_window_size(n: int) -> int:
 
 def msm_pippenger(curve: WeierstrassCurve, scalar_digits, points_dev,
                   window_size: int | None = None,
-                  windows_per_pass: int | None = None):
+                  windows_per_pass: int | None = None,
+                  bucket_rows: int | None = None):
     """Bucket-method MSM over device arrays (``pippenger.rs:42`` parity).
 
     The per-window pipeline (sort by bucket -> segmented Hillis–Steele
@@ -141,27 +259,44 @@ def msm_pippenger(curve: WeierstrassCurve, scalar_digits, points_dev,
     ids = [zeros] * (W - n_windows) + ids[::-1]
     id_matrix = jnp.stack(ids)  # (W, B)
 
-    def pass_values(windows):
+    # bucket-accumulation chunking: the sorted batch is viewed as
+    # (C columns) x (L rows); a serial lax.scan over the L rows costs one
+    # (C-wide) EC add per row — ~1 add per point in total — instead of the
+    # log2(B) full-width adds of a Hillis–Steele segmented scan.  L is
+    # chosen so the column width C = B/L still saturates the vector lanes.
+    if bucket_rows is not None:
+        L_ROWS = bucket_rows
+    else:
+        L_ROWS = max(1, min(64, B // (1 << 13)))
+    if B % max(L_ROWS, 1):
+        L_ROWS = 1
+
+    def pass_values(windows, points):
         """(wpp, B) ids -> per-window totals, components (K, wpp, 1)."""
         order = jnp.argsort(windows, axis=-1)
         sorted_ids = jnp.take_along_axis(windows, order, axis=-1)
-        pt = tuple(jnp.take(comp, order, axis=-1) for comp in points_dev)
+        pt = tuple(jnp.take(comp, order, axis=-1) for comp in points)
         pt = ops.select(sorted_ids != 0, pt, ops.neutral((wpp, B)))
 
-        boundary = (sorted_ids[:, 1:] != sorted_ids[:, :-1]).astype(jnp.uint32)
-        seg_start = jnp.concatenate(
-            [jnp.ones((wpp, 1), jnp.uint32), boundary], axis=-1)
-        sums = ops.segmented_scan(pt, seg_start)
-
-        seg_end = jnp.concatenate(
-            [boundary.astype(bool), jnp.ones((wpp, 1), bool)], axis=-1)
-        idx = jnp.where(seg_end, sorted_ids, jnp.uint32(nbuckets))
-        rows = jnp.arange(wpp)[:, None]
-        neutral_buckets = ops.neutral((wpp, nbuckets + 1))
-        buckets = tuple(
-            dst.at[:, rows, idx].set(src, mode="drop")[..., :nbuckets]
-            for dst, src in zip(neutral_buckets, sums)
-        )
+        if L_ROWS > 1:
+            buckets = bucket_accumulate_chunked(
+                ops, sorted_ids, pt, nbuckets, L_ROWS)
+        else:
+            boundary = (sorted_ids[:, 1:]
+                        != sorted_ids[:, :-1]).astype(jnp.uint32)
+            seg_start = jnp.concatenate(
+                [jnp.ones((wpp, 1), jnp.uint32), boundary], axis=-1)
+            sums = ops.segmented_scan(pt, seg_start)
+            seg_end = jnp.concatenate(
+                [boundary.astype(bool), jnp.ones((wpp, 1), bool)], axis=-1)
+            idx = jnp.where(seg_end, sorted_ids, jnp.uint32(nbuckets))
+            rows = jnp.arange(wpp)[:, None]
+            neutral_buckets = ops.neutral((wpp, nbuckets + 1))
+            buckets = tuple(
+                dst.at[:, rows, idx].set(src, mode="drop")
+                for dst, src in zip(neutral_buckets, sums)
+            )
+        buckets = tuple(comp[..., :nbuckets] for comp in buckets)
         nz = ops.neutral((wpp, 1))
         buckets = tuple(
             comp.at[:, :, 0].set(nc[:, :, 0]) for comp, nc in zip(buckets, nz)
@@ -176,7 +311,13 @@ def msm_pippenger(curve: WeierstrassCurve, scalar_digits, points_dev,
         scanned = ops.segmented_scan(rev, suffix_flags)
         return ops.tree_reduce(scanned)  # (K, wpp, 1)
 
-    chunks = [pass_values(id_matrix[i:i + wpp]) for i in range(0, W, wpp)]
+    # one shared jit for the per-chunk pipeline: every chunk has the same
+    # (wpp, B) shape, so the sort/scan/scatter graph and its EC adds are
+    # compiled once and reused (inlining W/wpp copies would multiply both
+    # compile time and serialized module size)
+    pass_values = jax.jit(pass_values)
+    chunks = [pass_values(id_matrix[i:i + wpp], points_dev)
+              for i in range(0, W, wpp)]
     values = tuple(jnp.concatenate(cs, axis=1) for cs in zip(*chunks))
     # -> scan xs: (W, K, 1) per coordinate
     xs = tuple(jnp.swapaxes(v, 0, 1) for v in values)

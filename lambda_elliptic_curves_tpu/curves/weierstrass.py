@@ -162,12 +162,43 @@ class ProjectivePoint:
 # device (batched Jacobian) kernels
 # ---------------------------------------------------------------------------
 
+_JIT_CACHE: dict = {}  # (curve, op, shapes) -> jitted group-law kernel
+
+
 class JacobianOps:
-    """Batched Jacobian group law over digit arrays for one curve."""
+    """Batched Jacobian group law over digit arrays for one curve.
+
+    ``add`` and ``double`` dispatch through per-(curve, shape) cached
+    ``jax.jit`` wrappers: a batched EC add expands to tens of thousands of
+    XLA ops, and MSM/scan pipelines invoke it in several places — sharing
+    one subcomputation per shape keeps module size and compile time linear
+    in the number of DISTINCT shapes instead of call sites (the tunneled
+    backend otherwise takes tens of minutes per compile and rejects
+    oversized modules outright).
+    """
 
     def __init__(self, curve: WeierstrassCurve):
         self.curve = curve
         self.f = curve.field
+
+    def _shared(self, name, impl, *pts):
+        key = (self.curve.name, name,
+               tuple(tuple((c.shape, str(c.dtype)) for c in pt)
+                     for pt in pts))
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            import jax
+
+            from ..ops import limbs
+
+            def traced(*args, _impl=impl):
+                # group-law kernels always trace with the compact limb
+                # core: ~10x smaller XLA graphs (see force_compact_core)
+                with limbs.force_compact_core():
+                    return _impl(*args)
+
+            fn = _JIT_CACHE[key] = jax.jit(traced)
+        return fn(*pts)
 
     # -- conversions --------------------------------------------------------
     def from_host(self, points):
@@ -221,6 +252,9 @@ class JacobianOps:
     # -- group law ------------------------------------------------------------
     def double(self, pt):
         """Jacobian doubling (dbl-2007-bl, general a)."""
+        return self._shared("double", self._double_impl, pt)
+
+    def _double_impl(self, pt):
         f = self.f
         X, Y, Z = pt
         xx = f.square(X)
@@ -250,6 +284,9 @@ class JacobianOps:
     def add(self, p1, p2):
         """Complete batched addition: handles identities, doubling and
         inverse pairs with selects (add-2007-bl core)."""
+        return self._shared("add", self._add_impl, p1, p2)
+
+    def _add_impl(self, p1, p2):
         f = self.f
         X1, Y1, Z1 = p1
         X2, Y2, Z2 = p2

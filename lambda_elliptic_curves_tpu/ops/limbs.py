@@ -384,8 +384,34 @@ def _conv_sparse_const_l(x, fp: FieldParams, total_len: int):
 # batch sizes >= this use the digit-list (fusion-friendly) core
 _UNROLL_MIN = 1 << 13
 
+# set by force_compact_core(): compile-time escape hatch for callers whose
+# graphs contain MANY field ops (EC group law: ~16 multiplies per add,
+# invoked from several scan bodies) — the digit-list core would emit
+# hundreds of thousands of XLA ops and takes tens of minutes to compile on
+# a 1-core host, while the compact core trades materialized (K,K,B)
+# product tensors for a ~10x smaller module.
+_FORCE_COMPACT = False
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def force_compact_core():
+    """Within this context (trace time), all limb ops use the compact
+    stacked core regardless of batch size."""
+    global _FORCE_COMPACT
+    prev = _FORCE_COMPACT
+    _FORCE_COMPACT = True
+    try:
+        yield
+    finally:
+        _FORCE_COMPACT = prev
+
 
 def _is_big(*arrs) -> bool:
+    if _FORCE_COMPACT:
+        return False
     return max(
         _math.prod(a.shape[1:]) if a.ndim > 1 else 1 for a in arrs
     ) >= _UNROLL_MIN
