@@ -8,3 +8,7 @@ from .zoo import (  # noqa: F401
     TestCurve1, VestaCurve,
 )
 from .msm import msm, msm_naive_host, msm_pippenger, msm_double_and_add  # noqa: F401
+from .twists import (  # noqa: F401
+    TwistCurve, TwistJacobianOps, bls12_377_twist, bls12_381_twist,
+    bn254_twist, msm_g2_naive_host,
+)

@@ -41,7 +41,7 @@ def scalars_to_digits(scalar_field_or_curve, scalars):
     from ..ops import limbs
 
     curve = scalar_field_or_curve
-    order = curve.order if isinstance(curve, WeierstrassCurve) else curve.p
+    order = getattr(curve, "order", 0) or curve.p
     # scalars are reduced mod the subgroup order
     vals = [int(s) % order for s in scalars]
 
@@ -64,13 +64,24 @@ def msm_naive_host(scalars, points):
     return acc
 
 
-def msm_double_and_add(curve: WeierstrassCurve, scalar_digits, points_dev):
+def _make_ops(curve):
+    """Group-law ops for a curve: G1 ``JacobianOps`` unless the curve
+    declares its own (e.g. :class:`..curves.twists.TwistCurve` -> G2)."""
+    return getattr(curve, "jacobian_ops_class", JacobianOps)(curve)
+
+
+def _scalar_bits(curve) -> int:
+    order = getattr(curve, "order", 0)
+    return order.bit_length() if order else curve.field.params.nbits
+
+
+def msm_double_and_add(curve, scalar_digits, points_dev, ops=None):
     """Batched double-and-add: every scalar multiplies its point in
     parallel (one ``lax.scan`` over the bits), then one log-depth tree
     reduction.  Simple, fully-parallel baseline for correctness and small
     batches."""
-    ops = JacobianOps(curve)
-    nbits = curve.order.bit_length() if curve.order else curve.field.params.nbits
+    ops = ops or _make_ops(curve)
+    nbits = _scalar_bits(curve)
     B = scalar_digits.shape[-1]
 
     def body(acc, bit_index):
@@ -214,10 +225,11 @@ def optimum_window_size(n: int) -> int:
     return max(1, int(4 + 0.8 * math.log2(max(n, 2))))
 
 
-def msm_pippenger(curve: WeierstrassCurve, scalar_digits, points_dev,
+def msm_pippenger(curve, scalar_digits, points_dev,
                   window_size: int | None = None,
                   windows_per_pass: int | None = None,
-                  bucket_rows: int | None = None):
+                  bucket_rows: int | None = None,
+                  ops=None):
     """Bucket-method MSM over device arrays (``pippenger.rs:42`` parity).
 
     The per-window pipeline (sort by bucket -> segmented Hillis–Steele
@@ -228,9 +240,9 @@ def msm_pippenger(curve: WeierstrassCurve, scalar_digits, points_dev,
     the gathered-points memory; windows then Horner-combine MSB-first (c
     doublings per window) in one small scan.
     """
-    ops = JacobianOps(curve)
+    ops = ops or _make_ops(curve)
     B = scalar_digits.shape[-1]
-    nbits = curve.order.bit_length() if curve.order else curve.field.params.nbits
+    nbits = _scalar_bits(curve)
     c = window_size or optimum_window_size(B)
     c = min(c, 15)  # window must fit strictly inside a pair of digits
     n_windows = -(-nbits // c)
@@ -331,12 +343,13 @@ def msm_pippenger(curve: WeierstrassCurve, scalar_digits, points_dev,
     return result
 
 
-def msm(curve: WeierstrassCurve, scalars, points, window_size=None,
+def msm(curve, scalars, points, window_size=None,
         method: str = "pippenger"):
     """Host-friendly entry: host scalars + host points -> host point.
 
     Parity with ``pippenger::msm`` (``msm/pippenger.rs:19``): auto window,
-    errors on length mismatch.
+    errors on length mismatch.  Works for G1 (``WeierstrassCurve``) and G2
+    (``TwistCurve``) alike — the group law is generic over the ops surface.
     """
     if len(scalars) != len(points):
         raise ValueError("scalars and points must have the same length")
@@ -349,11 +362,11 @@ def msm(curve: WeierstrassCurve, scalars, points, window_size=None,
     if target != n:
         scalars = list(scalars) + [0] * (target - n)
         points = list(points) + [curve.generator()] * (target - n)
-    ops = JacobianOps(curve)
+    ops = _make_ops(curve)
     pts = ops.from_host(points)
     sc = scalars_to_digits(curve, scalars)
     if method == "naive":
-        out = msm_double_and_add(curve, sc, pts)
+        out = msm_double_and_add(curve, sc, pts, ops=ops)
     else:
-        out = msm_pippenger(curve, sc, pts, window_size)
+        out = msm_pippenger(curve, sc, pts, window_size, ops=ops)
     return ops.to_host(out)[0]

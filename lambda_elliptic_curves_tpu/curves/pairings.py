@@ -6,23 +6,32 @@ Parity: ``IsPairing``/``compute_batch`` + Miller loop + final exponentiation
 
 Implementation notes: pairings are *protocol-sized* (a handful per KZG or
 Groth16 verification), so this is the exact host path — Python-int tower
-arithmetic.  The Miller loop runs generically over the untwisted curve
-E(Fp12) with affine line functions (the twisting isomorphism maps G2 into
-E(Fp12)); this trades constant factors for one implementation shared by all
-three curve families, with correctness pinned by bilinearity tests.  The
-final exponentiation uses the easy part f^(p^6-1)(p^2+1) followed by a
-plain square-and-multiply of the hard exponent (p^4 - p^2 + 1)/r.
+arithmetic (:mod:`.tower`).
+
+The fast path (``pairing``/``compute_batch``) is twist-native: the Miller
+loop runs on E'(Fp2) in homogeneous projective coordinates, lines are
+evaluated at P as *sparse* Fp12 elements (3 nonzero Fp2 coefficients —
+``mul_by_014`` for M-twists, ``mul_by_034`` for D-twists), line scalings by
+Fp2 constants are free because the final exponentiation annihilates them,
+and the final exponentiation uses Frobenius/conjugation for the easy part
+plus a shared-cyclotomic-squaring base-p multi-exponentiation for the hard
+part — exactly ``f^((p^12-1)/r)``, no curve-specific chain assumed.
+
+A generic slow oracle (affine E(Fp12) Miller loop + plain hard exponent)
+is kept as ``pairing_generic`` for differential testing.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 from ..fields.element import FieldElement
 from ..fields.extensions import ExtensionField
 from ..fields import zoo as FZ
 from ..utils.errors import PairingError
 from . import zoo as CZ
+from .tower import Tower
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +164,17 @@ class PairingConfig:
         return AffinePoint(self.fp12, self.embed_fp(aff.x),
                            self.embed_fp(aff.y))
 
+    @functools.cached_property
+    def tower(self) -> Tower:
+        """Fast tuple-arithmetic tower for this curve's Fp12."""
+        return Tower(self.g1_curve.field.p, self.fp2.non_residue,
+                     self.fp6.non_residue)
+
+
+# ---------------------------------------------------------------------------
+# generic slow oracle (affine Miller loop over E(Fp12)); kept for
+# differential testing of the fast path
+# ---------------------------------------------------------------------------
 
 def _line(a: AffinePoint, b: AffinePoint, p: AffinePoint):
     """Evaluate the line through a, b (or tangent if a == b) at p."""
@@ -202,9 +222,9 @@ def _frobenius(cfg, pt: AffinePoint) -> AffinePoint:
     return AffinePoint(cfg.fp12, pt.x**p, pt.y**p)
 
 
-def final_exponentiation(cfg: PairingConfig, f):
+def final_exponentiation_generic(cfg: PairingConfig, f):
     """f^((p^12-1)/r), easy part by Frobenius/conjugation + hard part as a
-    plain exponent (``pairing.rs:246`` role)."""
+    plain exponent (``pairing.rs:246`` role) — oracle path."""
     p = cfg.g1_curve.field.p
     # easy: f^(p^6 - 1) = conj(f)/f ; then ^(p^2 + 1)
     f = _conjugate_fp12(cfg, f) / f
@@ -214,11 +234,224 @@ def final_exponentiation(cfg: PairingConfig, f):
     return f**hard
 
 
+def pairing_generic(cfg: PairingConfig, p, q: AffinePoint):
+    """Slow generic e(P, Q): affine Miller loop over the untwisted curve
+    E(Fp12) + plain-exponent final exponentiation.  Differential oracle for
+    :func:`pairing`; no subgroup checks."""
+    if p.to_affine().z == 0 or q.inf:
+        return cfg.fp12(1)
+    p12 = cfg.g1_point_to_fp12(p)
+    q12 = cfg.g2_point_to_fp12(q)
+
+    if cfg.family == "bls":
+        m = abs(cfg.x_param)
+        f, _ = _miller_loop(cfg, q12, p12, m)
+        if cfg.x_is_negative:
+            f = _conjugate_fp12(cfg, f)
+        return final_exponentiation_generic(cfg, f)
+
+    # BN family: m = |6x + 2|, then the two Frobenius line corrections
+    x = cfg.x_param
+    m = 6 * x + 2
+    f, t = _miller_loop(cfg, q12, p12, abs(m))
+    if m < 0:
+        f = _conjugate_fp12(cfg, f)
+        t = t.neg()
+    q1 = _frobenius(cfg, q12)
+    q2 = _frobenius(cfg, q1).neg()
+    f = f * _line(t, q1, p12)
+    t = t + q1
+    f = f * _line(t, q2, p12)
+    return final_exponentiation_generic(cfg, f)
+
+
+# ---------------------------------------------------------------------------
+# fast twist-native path
+# ---------------------------------------------------------------------------
+
+def _tw_double(t: Tower, T):
+    """Projective doubling on E'(Fp2) (a=0) + line coefficients.
+
+    Line through T (tangent) evaluated at affine P, scaled by the Fp2
+    constant 2YZ^2 (free modulo final exponentiation):
+    ``l = c_y*y_P + c_x*x_P + c_c`` with
+    c_c = 3X^3 - 2Y^2 Z, c_x = -3X^2 Z, c_y = 2YZ^2.
+    """
+    X, Y, Z = T
+    sq, mul, add, sub = t.f2_sq, t.f2_mul, t.f2_add, t.f2_sub
+    xx = sq(X)
+    w3 = add(add(xx, xx), xx)          # 3X^2
+    s = mul(Y, Z)
+    yy = sq(Y)
+    b = mul(mul(X, yy), Z)             # B = X*Y*S = X Y^2 Z
+    h = sub(sq(w3), t.f2_scalar(8, b))
+    x3 = t.f2_scalar(2, mul(h, s))
+    ys2 = sq(mul(Y, s))                # (Y S)^2 = Y^2 S^2
+    y3 = sub(mul(w3, sub(t.f2_scalar(4, b), h)), t.f2_scalar(8, ys2))
+    z3 = t.f2_scalar(8, mul(sq(s), s))
+    # line
+    c_c = sub(t.f2_scalar(3, mul(X, xx)), t.f2_scalar(2, mul(yy, Z)))
+    c_x = t.f2_neg(mul(w3, Z))
+    c_y = t.f2_scalar(2, mul(s, Z))
+    return (x3, y3, z3), (c_c, c_x, c_y)
+
+
+def _tw_add(t: Tower, T, Q):
+    """Mixed projective addition T + Q on E'(Fp2) + line coefficients.
+
+    Line through T and Q at affine P, scaled by L = X - x2 Z:
+    c_c = theta*x2 - L*y2, c_x = -theta, c_y = L,
+    with theta = Y - y2 Z.
+    """
+    X, Y, Z = T
+    x2, y2 = Q
+    sq, mul, add, sub = t.f2_sq, t.f2_mul, t.f2_add, t.f2_sub
+    theta = sub(Y, mul(y2, Z))
+    lam = sub(X, mul(x2, Z))
+    c_c = sub(mul(theta, x2), mul(lam, y2))
+    c_x = t.f2_neg(theta)
+    c_y = lam
+    # projective mixed addition with u = -theta, v = -lam
+    u = t.f2_neg(theta)
+    v = t.f2_neg(lam)
+    vv = sq(v)
+    vvv = mul(vv, v)
+    a = sub(sub(mul(sq(u), Z), vvv), t.f2_scalar(2, mul(vv, X)))
+    x3 = mul(v, a)
+    y3 = sub(mul(u, sub(mul(vv, X), a)), mul(vvv, Y))
+    z3 = mul(vvv, Z)
+    return (x3, y3, z3), (c_c, c_x, c_y)
+
+
+def _apply_line(cfg: PairingConfig, t: Tower, f, coeffs, xp: int, yp: int):
+    c_c, c_x, c_y = coeffs
+    cx = t.f2_scalar(xp, c_x)
+    cy = t.f2_scalar(yp, c_y)
+    if cfg.twist_type == "M":
+        # l = c_c + (c_x x_P) w^2 + (c_y y_P) w^3 -> components (0, 1, 4)
+        return t.mul_by_014(f, c_c, cx, cy)
+    # D: l = (c_y y_P) + (c_x x_P) w + c_c w^3 -> components (0, 3, 4)
+    return t.mul_by_034(f, cy, cx, c_c)
+
+
+def _g2_endo(cfg: PairingConfig, t: Tower, Q):
+    """Untwist-Frobenius-twist endomorphism on E'(Fp2) for D-twists:
+    (x, y) -> (conj(x) xi^((p-1)/3), conj(y) xi^((p-1)/2))."""
+    x, y = Q
+    return (t.f2_mul(t.f2_conj(x), t.gamma[2]),
+            t.f2_mul(t.f2_conj(y), t.gamma[3]))
+
+
+def miller_loop(cfg: PairingConfig, p, q: AffinePoint):
+    """Twist-native Miller loop (``pairing.rs:118`` role): P in G1 host
+    projective, Q in G2 affine over Fp2; returns an Fp12 tower tuple."""
+    t = cfg.tower
+    aff = p.to_affine()
+    xp, yp = int(aff.x), int(aff.y)
+    xq = tuple(int(c) for c in q.x.value)
+    yq = tuple(int(c) for c in q.y.value)
+    Q = (xq, yq)
+    T = (xq, yq, (1, 0))
+    f = t.one()
+
+    m = abs(cfg.x_param) if cfg.family == "bls" else abs(6 * cfg.x_param + 2)
+    first = True
+    for bit in bin(m)[3:]:
+        if not first:
+            f = t.f12_sq(f)
+        first = False
+        T, coeffs = _tw_double(t, T)
+        f = _apply_line(cfg, t, f, coeffs, xp, yp)
+        if bit == "1":
+            T, coeffs = _tw_add(t, T, Q)
+            f = _apply_line(cfg, t, f, coeffs, xp, yp)
+
+    if cfg.family == "bls":
+        if cfg.x_is_negative:
+            f = t.f12_conj(f)
+        return f
+
+    # BN: frobenius correction lines
+    if 6 * cfg.x_param + 2 < 0:
+        f = t.f12_conj(f)
+        T = (T[0], t.f2_neg(T[1]), T[2])
+    q1 = _g2_endo(cfg, t, Q)
+    q2 = _g2_endo(cfg, t, q1)
+    q2 = (q2[0], t.f2_neg(q2[1]))
+    T, coeffs = _tw_add(t, T, q1)
+    f = _apply_line(cfg, t, f, coeffs, xp, yp)
+    T, coeffs = _tw_add(t, T, q2)
+    f = _apply_line(cfg, t, f, coeffs, xp, yp)
+    return f
+
+
+def _tw_scalar_mul_is_neutral(cfg: PairingConfig, q: AffinePoint, k: int):
+    """[k]Q == O on E'(Fp2) via fast projective tuple arithmetic."""
+    t = cfg.tower
+    xq = tuple(int(c) for c in q.x.value)
+    yq = tuple(int(c) for c in q.y.value)
+    acc = None  # None = infinity
+    add_pt = (xq, yq, (1, 0))
+
+    def pdouble(T):
+        X, Y, Z = T
+        sq, mul, add, sub = t.f2_sq, t.f2_mul, t.f2_add, t.f2_sub
+        if Y == (0, 0) or Z == (0, 0):
+            return None
+        xx = sq(X)
+        w3 = add(add(xx, xx), xx)
+        s = mul(Y, Z)
+        b = mul(mul(X, Y), s)
+        h = sub(sq(w3), t.f2_scalar(8, b))
+        x3 = t.f2_scalar(2, mul(h, s))
+        y3 = sub(mul(w3, sub(t.f2_scalar(4, b), h)),
+                 t.f2_scalar(8, sq(mul(Y, s))))
+        z3 = t.f2_scalar(8, mul(sq(s), s))
+        return (x3, y3, z3)
+
+    def padd(T1, T2):
+        if T1 is None:
+            return T2
+        if T2 is None:
+            return T1
+        X1, Y1, Z1 = T1
+        X2, Y2, Z2 = T2
+        mul, sub = t.f2_mul, t.f2_sub
+        u1 = mul(Y2, Z1)
+        u2 = mul(Y1, Z2)
+        v1 = mul(X2, Z1)
+        v2 = mul(X1, Z2)
+        if v1 == v2:
+            if u1 == u2:
+                return pdouble(T1)
+            return None
+        u = sub(u1, u2)
+        v = sub(v1, v2)
+        w = mul(Z1, Z2)
+        vv = t.f2_sq(v)
+        vvv = mul(vv, v)
+        a = sub(sub(mul(t.f2_sq(u), w), vvv), t.f2_scalar(2, mul(vv, v2)))
+        return (mul(v, a),
+                sub(mul(u, sub(mul(vv, v2), a)), mul(vvv, u2)),
+                mul(vvv, w))
+
+    k = int(k)
+    while k:
+        if k & 1:
+            acc = padd(acc, add_pt)
+        k >>= 1
+        if k:
+            add_pt = pdouble(add_pt)
+            if add_pt is None:
+                break
+    return acc is None or acc[2] == (0, 0)
+
+
 def check_subgroup(cfg: PairingConfig, point, is_g2: bool) -> bool:
     if is_g2:
         if point.inf:
             return True
-        return point.mul(cfg.r).inf
+        return _tw_scalar_mul_is_neutral(cfg, point, cfg.r)
     aff = point.to_affine()
     if aff.z == 0:
         return True
@@ -233,37 +466,24 @@ def pairing(cfg: PairingConfig, p, q: AffinePoint):
         raise PairingError("point not in the r-torsion subgroup")
     if p.to_affine().z == 0 or q.inf:
         return cfg.fp12(1)
-    p12 = cfg.g1_point_to_fp12(p)
-    q12 = cfg.g2_point_to_fp12(q)
-
-    if cfg.family == "bls":
-        m = abs(cfg.x_param)
-        f, _ = _miller_loop(cfg, q12, p12, m)
-        if cfg.x_is_negative:
-            f = _conjugate_fp12(cfg, f)
-        return final_exponentiation(cfg, f)
-
-    # BN family: m = |6x + 2|, then the two Frobenius line corrections
-    x = cfg.x_param
-    m = 6 * x + 2
-    f, t = _miller_loop(cfg, q12, p12, abs(m))
-    if m < 0:
-        f = _conjugate_fp12(cfg, f)
-        t = t.neg()
-    q1 = _frobenius(cfg, q12)
-    q2 = _frobenius(cfg, q1).neg()
-    f = f * _line(t, q1, p12)
-    t = t + q1
-    f = f * _line(t, q2, p12)
-    return final_exponentiation(cfg, f)
+    t = cfg.tower
+    f = miller_loop(cfg, p, q)
+    return cfg.fp12(t.final_exponentiation(f, cfg.r))
 
 
 def compute_batch(cfg: PairingConfig, pairs):
-    """Product of pairings e(P_i, Q_i) (``pairing.rs:96``)."""
-    acc = cfg.fp12(1)
+    """Product of pairings e(P_i, Q_i) (``pairing.rs:96``): one Miller loop
+    per pair, a single shared final exponentiation."""
+    t = cfg.tower
+    acc = t.one()
     for p, q in pairs:
-        acc = acc * pairing(cfg, p, q)
-    return acc
+        if not check_subgroup(cfg, p, is_g2=False) or \
+                not check_subgroup(cfg, q, True):
+            raise PairingError("point not in the r-torsion subgroup")
+        if p.to_affine().z == 0 or q.inf:
+            continue
+        acc = t.f12_mul(acc, miller_loop(cfg, p, q))
+    return cfg.fp12(t.final_exponentiation(acc, cfg.r))
 
 
 # ---------------------------------------------------------------------------

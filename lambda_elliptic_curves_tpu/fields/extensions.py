@@ -193,71 +193,133 @@ class ExtensionField:
 
 
 # ---------------------------------------------------------------------------
-# device (batched) quadratic extension
+# device (batched) quadratic extension — flat digit layout
 # ---------------------------------------------------------------------------
 
-class VectorQuadraticExtension:
-    """Batched Fp2-style arithmetic: arrays are (2, K, *batch) with the
-    component axis outermost; each component op is a full-width base-field
-    kernel.  Mirrors the PrimeField device API so EC/NTT code is generic."""
+class DeviceQuadraticField:
+    """Batched quadratic extension E = B[u]/(u^2 - non_residue) over a
+    device base field B (a :class:`PrimeField` or, nested, another
+    ``DeviceQuadraticField`` — giving Fp4 towers).
 
-    def __init__(self, base: PrimeField, non_residue: int, name=None):
+    **Flat layout**: an element batch is a single ``(2*Kb, *batch)`` uint32
+    array — component 0's digits stacked on top of component 1's.  Because
+    the layout keeps axis 0 as "the digits" and everything else as batch,
+    every consumer written against the ``PrimeField`` device API (the
+    Jacobian group law, MSM bucket pipelines, select/is_zero generic code)
+    works unchanged over extension elements.
+
+    Parity: ``QuadraticExtensionField`` (``math/src/field/extensions/
+    quadratic.rs:12``) as a *data layout + kernel set* instead of a trait.
+    """
+
+    def __init__(self, base, non_residue, name=None):
         self.base = base
-        self.non_residue = non_residue % base.p
-        self.name = name or f"{base.name}_fp2"
-        self.p = base.p  # order of the base prime (identity checks only)
+        # non_residue: int for prime base, tuple for nested base
+        if isinstance(base, DeviceQuadraticField):
+            self.non_residue = non_residue
+        else:
+            self.non_residue = int(non_residue) % base.p
+        self.name = name or f"{base.name}_x2"
+        self.p = base.p  # characteristic (prime of the bottom field)
 
     @property
     def num_digits(self):
-        return self.base.num_digits
+        return 2 * self.base.num_digits
 
-    def array(self, pairs):
-        """[(c0, c1), ...] -> (2, K, B)."""
+    @property
+    def degree_over_prime(self):
+        return 2 * getattr(self.base, "degree_over_prime", 1)
+
+    # -- layout helpers -----------------------------------------------------
+    def split(self, a):
+        k = self.base.num_digits
+        return a[:k], a[k:]
+
+    @staticmethod
+    def join(c0, c1):
+        return jnp.concatenate([c0, c1], axis=0)
+
+    # -- host <-> device ----------------------------------------------------
+    def _components(self, value):
+        """Normalize an int / tuple / FieldElement to a component pair."""
+        if isinstance(value, FieldElement):
+            value = value.value
+        if isinstance(value, tuple):
+            return value[0], value[1]
+        return value, 0 if not isinstance(self.base, DeviceQuadraticField) \
+            else self._zero_component()
+
+    def _zero_component(self):
+        b = self.base
+        if isinstance(b, DeviceQuadraticField):
+            z = b._zero_component()
+            return (z, z)
+        return 0
+
+    def array(self, values):
+        """List of tuples (recursively nested for towers) / ints /
+        host FieldElements -> (2*Kb, B) device array."""
+        pairs = [self._components(v) for v in values]
         c0 = self.base.array([p[0] for p in pairs])
         c1 = self.base.array([p[1] for p in pairs])
-        return jnp.stack([c0, c1])
+        return self.join(c0, c1)
 
-    def to_pairs(self, arr):
-        c0 = self.base.to_ints(arr[0])
-        c1 = self.base.to_ints(arr[1])
-        return [(int(a), int(b)) for a, b in zip(c0.ravel(), c1.ravel())]
+    def to_tuples(self, arr):
+        """Device array -> list of component tuples (ints at the leaves)."""
+        c0, c1 = self.split(arr)
+        if isinstance(self.base, DeviceQuadraticField):
+            lo = self.base.to_tuples(c0)
+            hi = self.base.to_tuples(c1)
+        else:
+            lo = [int(v) for v in self.base.to_ints(c0).ravel()]
+            hi = [int(v) for v in self.base.to_ints(c1).ravel()]
+        return list(zip(lo, hi))
 
-    def constant(self, pair, batch_shape=()):
-        if isinstance(pair, int):
-            pair = (pair, 0)
-        return jnp.stack([
-            self.base.constant(pair[0], batch_shape),
-            self.base.constant(pair[1], batch_shape),
-        ])
+    def constant(self, value, batch_shape=()):
+        v0, v1 = self._components(value)
+        return self.join(self.base.constant(v0, batch_shape),
+                         self.base.constant(v1, batch_shape))
 
     def zeros(self, batch_shape=()):
-        return jnp.stack([self.base.zeros(batch_shape)] * 2)
+        return jnp.zeros((self.num_digits,) + tuple(batch_shape), jnp.uint32)
 
     def ones(self, batch_shape=()):
-        return jnp.stack([self.base.ones(batch_shape),
-                          self.base.zeros(batch_shape)])
+        return self.join(self.base.ones(batch_shape),
+                         self.base.zeros(batch_shape))
 
+    def embed(self, base_arr):
+        """Lift a base-field array (Kb, *batch) into the extension."""
+        return self.join(base_arr, jnp.zeros_like(base_arr))
+
+    # -- arithmetic ---------------------------------------------------------
     def add(self, a, b):
-        return jnp.stack([self.base.add(a[0], b[0]), self.base.add(a[1], b[1])])
+        a0, a1 = self.split(a)
+        b0, b1 = self.split(b)
+        return self.join(self.base.add(a0, b0), self.base.add(a1, b1))
 
     def sub(self, a, b):
-        return jnp.stack([self.base.sub(a[0], b[0]), self.base.sub(a[1], b[1])])
+        a0, a1 = self.split(a)
+        b0, b1 = self.split(b)
+        return self.join(self.base.sub(a0, b0), self.base.sub(a1, b1))
 
     def neg(self, a):
-        return jnp.stack([self.base.neg(a[0]), self.base.neg(a[1])])
+        a0, a1 = self.split(a)
+        return self.join(self.base.neg(a0), self.base.neg(a1))
 
     def mul(self, a, b):
         f = self.base
-        t0 = f.mul(a[0], b[0])
-        t1 = f.mul(a[1], b[1])
-        mid = f.mul(f.add(a[0], a[1]), f.add(b[0], b[1]))
+        a0, a1 = self.split(a)
+        b0, b1 = self.split(b)
+        t0 = f.mul(a0, b0)
+        t1 = f.mul(a1, b1)
+        mid = f.mul(f.add(a0, a1), f.add(b0, b1))
         mid = f.sub(f.sub(mid, t0), t1)
-        return jnp.stack([f.add(t0, self._mul_res(t1)), mid])
+        return self.join(f.add(t0, self._mul_res(t1)), mid)
 
     def _mul_res(self, v):
         r = self.non_residue
         f = self.base
-        if r == f.p - 1:
+        if not isinstance(f, DeviceQuadraticField) and r == f.p - 1:
             return f.neg(v)
         return f.mul(f.constant(r, v.shape[1:]), v)
 
@@ -266,36 +328,42 @@ class VectorQuadraticExtension:
 
     def inv(self, a):
         f = self.base
-        norm = f.sub(f.mul(a[0], a[0]), self._mul_res(f.mul(a[1], a[1])))
+        a0, a1 = self.split(a)
+        norm = f.sub(f.mul(a0, a0), self._mul_res(f.mul(a1, a1)))
         ninv = f.inv(norm)
-        return jnp.stack([f.mul(a[0], ninv), f.mul(f.neg(a[1]), ninv)])
+        return self.join(f.mul(a0, ninv), f.mul(f.neg(a1), ninv))
 
     def batch_inverse(self, a):
         f = self.base
-        norm = f.sub(f.mul(a[0], a[0]), self._mul_res(f.mul(a[1], a[1])))
+        a0, a1 = self.split(a)
+        norm = f.sub(f.mul(a0, a0), self._mul_res(f.mul(a1, a1)))
         ninv = f.batch_inverse(norm)
-        return jnp.stack([f.mul(a[0], ninv), f.mul(f.neg(a[1]), ninv)])
+        return self.join(f.mul(a0, ninv), f.mul(f.neg(a1), ninv))
 
     def is_zero(self, a):
-        return self.base.is_zero(a[0]) & self.base.is_zero(a[1])
+        a0, a1 = self.split(a)
+        return self.base.is_zero(a0) & self.base.is_zero(a1)
 
     def equal(self, a, b):
-        return self.base.equal(a[0], b[0]) & self.base.equal(a[1], b[1])
+        a0, a1 = self.split(a)
+        b0, b1 = self.split(b)
+        return self.base.equal(a0, b0) & self.base.equal(a1, b1)
 
     def select(self, cond, a, b):
-        return jnp.stack([self.base.select(cond, a[0], b[0]),
-                          self.base.select(cond, a[1], b[1])])
+        a0, a1 = self.split(a)
+        b0, b1 = self.split(b)
+        return self.join(self.base.select(cond, a0, b0),
+                         self.base.select(cond, a1, b1))
 
     def pow(self, a, e: int):
-        result = self.ones(a.shape[2:])
-        acc = a
+        batch = a.shape[1:]
         e = int(e)
-        first = True
+        result = None
+        acc = a
         while e:
             if e & 1:
-                result = acc if first else self.mul(result, acc)
-                first = False
+                result = acc if result is None else self.mul(result, acc)
             e >>= 1
             if e:
                 acc = self.square(acc)
-        return result if not first else self.ones(a.shape[2:])
+        return self.ones(batch) if result is None else result

@@ -1,5 +1,7 @@
 """Groth16 prover (parity: ``provers/groth16/src/prover.rs:68``):
-h(tau) via offset NTTs + five MSMs, with (r, s) hiding randomness."""
+h(tau) via offset NTTs + five MSMs — pi_2's G2 MSM runs the same device
+Pippenger pipeline over flat Fp2 digit arrays — with (r, s) hiding
+randomness."""
 
 from __future__ import annotations
 
@@ -8,8 +10,15 @@ import random
 
 from ...curves.msm import msm as device_msm, msm_naive_host
 from ...curves.pairings import AffinePoint, BLS12381Pairing
+from ...curves import twists
 from .qap import QuadraticArithmeticProgram
 from .setup import ProvingKey
+
+_TWISTS = {
+    "bls12_381": twists.bls12_381_twist,
+    "bn254": twists.bn254_twist,
+    "bls12_377": twists.bls12_377_twist,
+}
 
 
 @dataclasses.dataclass
@@ -41,12 +50,15 @@ def _msm_g1(cfg, scalars, points):
     return device_msm(cfg.g1_curve, list(s), list(p))
 
 
-def _msm_g2_host(cfg, scalars, points):
-    acc = AffinePoint.infinity(points[0].field)
-    for s, p in zip(scalars, points):
-        if int(s):
-            acc = acc + p.mul(int(s) % cfg.r)
-    return acc
+def _msm_g2(cfg, scalars, points):
+    """G2 MSM through the device Pippenger pipeline (``prover.rs:68``'s
+    pi_2 MSM; generic bucket method per ``pippenger.rs:19``)."""
+    nontrivial = [(s, p) for s, p in zip(scalars, points) if int(s)]
+    if not nontrivial:
+        return AffinePoint.infinity(points[0].field)
+    s, p = zip(*nontrivial)
+    twist = _TWISTS[cfg.name]()
+    return device_msm(twist, list(s), list(p))
 
 
 def prove(witness, qap: QuadraticArithmeticProgram, pk: ProvingKey,
@@ -64,7 +76,7 @@ def prove(witness, qap: QuadraticArithmeticProgram, pk: ProvingKey,
         .operate_with(pk.alpha_g1) \
         .operate_with(pk.delta_g1.operate_with_self(r))
 
-    pi2 = _msm_g2_host(cfg, w, pk.r_tau_g2) + pk.beta_g2 + \
+    pi2 = _msm_g2(cfg, w, pk.r_tau_g2) + pk.beta_g2 + \
         pk.delta_g2.mul(s)
 
     t_h_g1 = _msm_g1(cfg, h, pk.z_powers_of_tau_g1[: len(h)])

@@ -1,18 +1,78 @@
-"""Pairing tests: bilinearity, identities, subgroup errors.
+"""Pairing tests: bilinearity, identities, subgroup errors, tower unit
+ops, and a differential check of the fast twist-native path against the
+generic E(Fp12) oracle.
 
 Mirrors the reference's pairing test suites
 (``bls12_381/pairing.rs:417-486``, ``bn_254/pairing.rs`` tests).
 """
 
+import random
+
 import pytest
 
 from lambda_elliptic_curves_tpu.curves.pairings import (
     AffinePoint, BLS12377Pairing, BLS12381Pairing, BN254Pairing,
-    compute_batch, pairing,
+    compute_batch, pairing, pairing_generic,
 )
 from lambda_elliptic_curves_tpu.utils.errors import PairingError
 
 CONFIGS = [BLS12381Pairing, BN254Pairing, BLS12377Pairing]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: c.name)
+def test_tower_ops(cfg):
+    """Unit checks for the fast tuple tower: inv/sq/frobenius/sparse
+    products/cyclotomic ops against the full generic operations."""
+    t = cfg.tower
+    p = t.p
+    rng = random.Random(42)
+
+    def rf2():
+        return (rng.randrange(p), rng.randrange(p))
+
+    def rf12():
+        return (tuple(rf2() for _ in range(3)),
+                tuple(rf2() for _ in range(3)))
+
+    def f12_pow(x, e):
+        out = t.one()
+        acc = x
+        while e:
+            if e & 1:
+                out = t.f12_mul(out, acc)
+            acc = t.f12_sq(acc)
+            e >>= 1
+        return out
+
+    a = rf12()
+    assert t.f12_mul(a, t.f12_inv(a)) == t.one()
+    assert t.f12_sq(a) == t.f12_mul(a, a)
+    assert t.frobenius(a, 1) == f12_pow(a, p)
+    assert t.frobenius(a, 2) == f12_pow(a, p * p)
+
+    c0, c1, c4 = rf2(), rf2(), rf2()
+    sparse014 = ((c0, c1, (0, 0)), ((0, 0), c4, (0, 0)))
+    assert t.mul_by_014(a, c0, c1, c4) == t.f12_mul(a, sparse014)
+    sparse034 = ((c0, (0, 0), (0, 0)), (c1, c4, (0, 0)))
+    assert t.mul_by_034(a, c0, c1, c4) == t.f12_mul(a, sparse034)
+
+    # cyclotomic ops on an easy-part image (guaranteed in the subgroup)
+    g = t.f12_mul(t.f12_conj(a), t.f12_inv(a))
+    g = t.f12_mul(t.frobenius(g, 2), g)
+    assert t.cyclo_sq(g) == t.f12_mul(g, g)
+    assert t.cyclo_pow(g, 98765) == f12_pow(g, 98765)
+    assert t.cyclo_pow(g, -3) == f12_pow(t.f12_conj(g), 3)
+
+
+def test_fast_pairing_matches_generic_oracle():
+    """The twist-native fast path equals the affine E(Fp12) oracle
+    (exact final-exponentiation output, not just bilinear-equivalent)."""
+    cfg = BN254Pairing
+    g1 = cfg.g1_curve.generator()
+    g2 = cfg.g2_generator()
+    fast = pairing(cfg, g1.operate_with_self(3), g2.mul(11))
+    ref = pairing_generic(cfg, g1.operate_with_self(3), g2.mul(11))
+    assert fast == ref
 
 
 @pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: c.name)
