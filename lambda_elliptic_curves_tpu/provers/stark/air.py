@@ -154,11 +154,16 @@ class TransitionConstraint:
                 for e in range(1, self.end_exemptions + 1)]
 
     def evaluate_zerofier_host(self, z, g, trace_length: int):
-        """1/Z(z) * exemptions(z) at a host point (``transition.rs:210``)."""
+        """1/Z(z) * exemptions(z) at a host point (``transition.rs:210``).
+        z (and g) may live in an extension of the trace field; g is always
+        an embedded base element, so its base integer is component 0."""
         f = z.field
         n = trace_length
+        g_int = g.value
+        while isinstance(g_int, tuple):
+            g_int = g_int[0]
         exemptions = f(1)
-        for r in self.end_exemptions_points(g.value, n, f.p):
+        for r in self.end_exemptions_points(g_int, n, f.p):
             exemptions = exemptions * (z - f(r))
         if self.exemptions_period is not None:
             off_exp = n * self.periodic_exemptions_offset // self.exemptions_period
@@ -201,6 +206,12 @@ class AIR:
     trace_columns = 1
     aux_columns = 0
     transition_offsets = [0, 1]
+    #: challenge-field extension degree (1, 2 or 4).  Parity with the
+    #: reference's ``Field: IsSubFieldOf<FieldExtension>`` bound
+    #: (``traits.rs:75-80``): OOD z, DEEP gammas and FRI zetas are sampled
+    #: in a degree-``extension_degree`` tower over ``field``, which is what
+    #: makes small-field (BabyBear/Goldilocks) proofs sound.
+    extension_degree = 1
 
     def __init__(self, trace_length: int, pub_inputs, proof_options):
         self.trace_length = trace_length

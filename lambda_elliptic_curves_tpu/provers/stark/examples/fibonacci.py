@@ -52,13 +52,16 @@ class FibonacciAIR(AIR):
         return self.trace_length
 
 
-def fibonacci_air_for(field):
-    """Bind the AIR to a field (the reference is generic over IsFFTField)."""
+def fibonacci_air_for(field, extension_degree: int = 1):
+    """Bind the AIR to a field (the reference is generic over IsFFTField;
+    ``extension_degree`` > 1 samples challenges in a tower over it, parity
+    ``traits.rs:75-80``)."""
 
     class BoundFibonacciAIR(FibonacciAIR):
         pass
 
     BoundFibonacciAIR.field = field
+    BoundFibonacciAIR.extension_degree = extension_degree
     return BoundFibonacciAIR
 
 

@@ -32,11 +32,11 @@ import jax.numpy as jnp
 from ...fields.element import FieldElement
 from ...merkle import MerkleTree, KeccakBatchBackend
 from ...poly import ntt
-from ...poly.polynomial import evaluate_coeffs_at
 from ...utils.errors import ProvingError
 from . import grinding
 from .air import DeviceCtx, device_frame
 from .domain import Domain
+from .extension import ChallengeBundle
 from .proof import (
     DeepPolynomialOpening, FriDecommitment, PolynomialOpenings, StarkProof,
 )
@@ -81,6 +81,11 @@ class Prover:
     def prove(self, trace, pub_inputs, proof_options, transcript) -> StarkProof:
         air = self.air_class(trace.num_rows // 1, pub_inputs, proof_options)
         f = air.field
+        ext = ChallengeBundle(f, getattr(air, "extension_degree", 1))
+        if ext.degree > 1 and air.has_trace_interaction:
+            raise ProvingError(
+                "extension-field challenges with RAP aux traces are not "
+                "supported yet")
         domain = Domain(air)
         backend = KeccakBatchBackend(f)
         blowup = domain.blowup_factor
@@ -116,52 +121,54 @@ class Prover:
             tpolys_all = tpolys
 
         # ======================= challenges: beta ======================
-        beta = transcript.sample_field_element()
+        beta = ext.sample(transcript)
         n_transition = air.num_transition_constraints
         boundary = air.boundary_constraints(rap_challenges)
-        coeffs = _powers_host(f, beta, n_transition + len(boundary))
+        coeffs = _powers_host(ext.host, beta, n_transition + len(boundary))
         transition_coeffs = coeffs[:n_transition]
         boundary_coeffs = coeffs[n_transition:]
 
         # =========================== Round 2 ===========================
         ce_evals = self._composition_evaluations(
-            air, domain, lde_all, transition_coeffs, boundary, boundary_coeffs,
-            rap_challenges,
-        )
+            air, ext, domain, lde_all, transition_coeffs, boundary,
+            boundary_coeffs, rap_challenges,
+        )  # (D*K, N) challenge-field evaluations
         _t = _mark('round2 constraint eval', _t)
-        h_coeffs = ntt.interpolate_offset_fft(f, ce_evals, domain.coset_offset)
+        h_coeffs = ext.interpolate_offset_fft(ce_evals, domain.coset_offset)
         nparts = air.composition_poly_degree_bound() // n
         # break_in_parts: part i = coefficients i, i+P, i+2P, ...
         parts = jnp.stack(
             [h_coeffs[..., i::nparts] for i in range(nparts)], axis=-2
-        )  # (K, nparts, N/nparts)
-        parts_lde = ntt.evaluate_offset_fft(
-            f, parts, N // parts.shape[-1], None, domain.coset_offset
-        )  # (K, nparts, N)
+        )  # (D*K, nparts, N/nparts)
+        parts_lde = ext.evaluate_offset_fft(
+            parts, N // parts.shape[-1], None, domain.coset_offset
+        )  # (D*K, nparts, N)
         parts_br = ntt.bit_reverse_permute(parts_lde)
-        # leaf j = [p_i[2j], p_i[2j+1] for all parts i]
+        # leaf j = [components of p_i[2j] for all i, then of p_i[2j+1]]
         comp_leaves = jnp.concatenate(
-            [parts_br[..., 0::2], parts_br[..., 1::2]], axis=1
-        )  # (K, 2*nparts, N/2): first nparts rows = even, then odd
+            [ext.as_base_columns(parts_br[..., 0::2]),
+             ext.as_base_columns(parts_br[..., 1::2])], axis=1
+        )  # (K, 2*D*nparts, N/2): first D*nparts rows = even, then odd
         comp_tree = MerkleTree.build(backend, comp_leaves)
         transcript.append_bytes(comp_tree.root)
         _t = _mark('round2 commit', _t)
 
         # =========================== Round 3 ===========================
-        z = transcript.sample_z_ood(domain.coset_offset, N, domain.root_order)
+        z = ext.sample_z_ood(transcript, domain.coset_offset, N,
+                             domain.root_order)
         z_power = z**nparts
         parts_ood = [
-            int(f.to_ints(evaluate_coeffs_at(f, parts[:, i], z_power.value)))
+            ext.host_value(ext.evaluate_ext_coeffs_at(parts[:, i], z_power))
             for i in range(nparts)
         ]
-        g = f(domain.trace_primitive_root)
+        g = ext.host(domain.trace_primitive_root)
         offsets = air.transition_offsets
         num_cols = lde_all.shape[1]
-        # trace OOD: [offset_idx][col] = t_col(z * g^offset)
+        # trace OOD: [offset_idx][col] = t_col(z * g^offset), values in E
         trace_ood = [
             [
-                int(f.to_ints(evaluate_coeffs_at(f, tpolys_all[:, j],
-                                                 (z * g**off).value)))
+                ext.host_value(ext.evaluate_coeffs_at(tpolys_all[:, j],
+                                                      z * g**off))
                 for j in range(num_cols)
             ]
             for off in offsets
@@ -169,30 +176,30 @@ class Prover:
         # transcript order matches the reference: column-major
         for j in range(num_cols):
             for k in range(len(offsets)):
-                transcript.append_field_element(f(trace_ood[k][j]))
+                ext.append(transcript, ext.host(trace_ood[k][j]))
         for v in parts_ood:
-            transcript.append_field_element(f(v))
+            ext.append(transcript, ext.host(v))
 
         _t = _mark('round3 ood', _t)
         # =========================== Round 4 ===========================
-        gamma = transcript.sample_field_element()
+        gamma = ext.sample(transcript)
         n_trace_terms = len(offsets) * air.step_size * num_cols
-        all_gammas = _powers_host(f, gamma, n_trace_terms + nparts)
+        all_gammas = _powers_host(ext.host, gamma, n_trace_terms + nparts)
         trace_gammas = all_gammas[:n_trace_terms]
         comp_gammas = all_gammas[n_trace_terms:]
 
         deep_evals = self._deep_composition_evaluations(
-            f, domain, lde_all, parts_lde, trace_ood, parts_ood, z, z_power,
+            ext, domain, lde_all, parts_lde, trace_ood, parts_ood, z, z_power,
             g, offsets, trace_gammas, comp_gammas,
         )
-        p0 = ntt.interpolate_offset_fft(f, deep_evals, domain.coset_offset)
+        p0 = ext.interpolate_offset_fft(deep_evals, domain.coset_offset)
         # p0 has degree < n; drop the provably-zero high coefficients so FRI
         # folds operate on the true degree bound
         p0 = p0[..., :n]
 
         _t = _mark('round4 deep', _t)
         fri_roots, fri_layers, last_value = self._fri_commit(
-            f, domain, p0, transcript, backend
+            ext, domain, p0, transcript, backend
         )
         _t = _mark('round4 fri commit', _t)
 
@@ -208,12 +215,12 @@ class Prover:
             for _ in range(proof_options.fri_number_of_queries)
         ]
 
-        query_list = self._fri_query(f, fri_layers, iotas)
+        query_list = self._fri_query(ext, fri_layers, iotas)
         _t = _mark('round4 fri query', _t)
         deep_openings = self._open_deep(
             f, backend, main_tree, aux_tree, comp_tree, lde_br,
             ntt.bit_reverse_permute(aux_lde) if aux_lde is not None else None,
-            comp_leaves, iotas, nparts,
+            comp_leaves, iotas, ext.degree * nparts,
         )
 
         _t = _mark('round4 open deep', _t)
@@ -232,10 +239,14 @@ class Prover:
         )
 
     # ------------------------------------------------------------------
-    def _composition_evaluations(self, air, domain, lde_all, transition_coeffs,
-                                 boundary, boundary_coeffs, rap_challenges):
+    def _composition_evaluations(self, air, ext, domain, lde_all,
+                                 transition_coeffs, boundary, boundary_coeffs,
+                                 rap_challenges):
         """Numerator of H over the LDE coset (ConstraintEvaluator parity,
-        ``constraints/evaluator.rs:33``), fully vectorised."""
+        ``constraints/evaluator.rs:33``), fully vectorised.  Constraint
+        evaluations live in the base field; the beta coefficients live in
+        the challenge field E, so each term is an E-scaling of a base
+        array and the accumulator is a (D*K, N) challenge array."""
         f = air.field
         N = domain.lde_size
         n = domain.trace_length
@@ -243,7 +254,7 @@ class Prover:
         g_int = domain.trace_primitive_root
         lde_points = domain.lde_points()  # (K, N)
 
-        acc = f.zeros((N,))
+        acc = ext.fd.zeros((N,))
 
         # ---- boundary terms: sum beta' * (t_col - v) / (x - g^step)
         for bc, beta_c in zip(boundary, boundary_coeffs):
@@ -253,8 +264,7 @@ class Prover:
             col = lde_all[:, bc.col + (air.trace_columns if bc.is_aux else 0)]
             value = bc.value.value if hasattr(bc.value, "value") else int(bc.value)
             num = f.sub(col, f.constant(value, (N,)))
-            acc = f.add(acc, f.mul(f.mul(num, inv),
-                                   f.constant(beta_c.value, (N,))))
+            acc = ext.fd.add(acc, ext.scale_base(f.mul(num, inv), beta_c))
 
         # ---- periodic columns on the LDE
         periodic_lde = []
@@ -275,8 +285,7 @@ class Prover:
                                              rap_challenges)
         zinv = self._zerofier_inverse_evals(air, domain)
         for ev, zv, beta_c in zip(evaluations, zinv, transition_coeffs):
-            acc = f.add(acc, f.mul(f.mul(ev, zv),
-                                   f.constant(beta_c.value, (N,))))
+            acc = ext.fd.add(acc, ext.scale_base(f.mul(ev, zv), beta_c))
         return acc
 
     def _zerofier_inverse_evals(self, air, domain):
@@ -331,89 +340,98 @@ class Prover:
         return out
 
     # ------------------------------------------------------------------
-    def _deep_composition_evaluations(self, f, domain, lde_all, parts_lde,
+    def _deep_composition_evaluations(self, ext, domain, lde_all, parts_lde,
                                       trace_ood, parts_ood, z, z_power, g,
                                       offsets, trace_gammas, comp_gammas):
         """DEEP composition poly evaluated over the LDE coset
         (``prover.rs:643`` compute_deep_composition_poly — but as
-        elementwise evaluation-space quotients)."""
+        elementwise evaluation-space quotients).  z / gammas / OOD values
+        are challenge-field; the result is a (D*K, N) challenge array."""
+        fd = ext.fd
         N = domain.lde_size
-        lde_points = domain.lde_points()
-        acc = f.zeros((N,))
+        lde_points = ext.embed(domain.lde_points())  # E-lift of the coset
+        acc = fd.zeros((N,))
 
         # H-part terms: gamma'_i (H_i - H_i(z^np)) / (x - z^np)
-        inv_h = f.batch_inverse(
-            f.sub(lde_points, f.constant(z_power.value, (N,)))
+        inv_h = fd.batch_inverse(
+            fd.sub(lde_points, fd.constant(ext.value_of(z_power), (N,)))
         )
         for i, gamma_c in enumerate(comp_gammas):
-            num = f.sub(parts_lde[:, i], f.constant(parts_ood[i], (N,)))
-            acc = f.add(acc, f.mul(f.mul(num, inv_h),
-                                   f.constant(gamma_c.value, (N,))))
+            num = fd.sub(parts_lde[:, i], fd.constant(parts_ood[i], (N,)))
+            acc = fd.add(acc, fd.mul(fd.mul(num, inv_h),
+                                     fd.constant(ext.value_of(gamma_c), (N,))))
 
         # trace terms: gamma_{jk} (t_j - t_j(z g^k)) / (x - z g^k)
         num_cols = lde_all.shape[1]
         gi = 0
         for j in range(num_cols):
             for k, off in enumerate(offsets):
-                zp = (z * g**off).value
-                inv = f.batch_inverse(
-                    f.sub(lde_points, f.constant(zp, (N,)))
+                zp = ext.value_of(z * g**off)
+                inv = fd.batch_inverse(
+                    fd.sub(lde_points, fd.constant(zp, (N,)))
                 )
-                num = f.sub(lde_all[:, j], f.constant(trace_ood[k][j], (N,)))
-                acc = f.add(acc, f.mul(f.mul(num, inv),
-                                       f.constant(trace_gammas[gi].value, (N,))))
+                num = fd.sub(ext.embed(lde_all[:, j]),
+                             fd.constant(trace_ood[k][j], (N,)))
+                acc = fd.add(acc, fd.mul(
+                    fd.mul(num, inv),
+                    fd.constant(ext.value_of(trace_gammas[gi]), (N,))))
                 gi += 1
         return acc
 
     # ------------------------------------------------------------------
-    def _fri_commit(self, f, domain, p0, transcript, backend):
+    def _fri_commit(self, ext, domain, p0, transcript, backend):
         """FRI commit phase (``fri/mod.rs:22``): fold p' = 2*(even + z*odd),
         evaluate each layer over the squared-offset coset, commit pairs of
-        bit-reversed evaluations."""
+        bit-reversed evaluations.  All values live in the challenge field;
+        leaves are committed component-major (base-field columns)."""
+        f = ext.f
         num_layers = domain.root_order
         poly = p0
         offset = domain.coset_offset
         size = domain.lde_size
-        layers = []  # (evals_br (K, size), tree)
+        layers = []  # (evals_br (D*K, size), tree)
         roots = []
         for _ in range(1, num_layers):
-            zeta = transcript.sample_field_element()
+            zeta = ext.sample(transcript)
             offset = offset * offset % f.p
             size //= 2
-            poly = self._fold(f, poly, zeta)
-            evals = ntt.evaluate_offset_fft(f, poly, 1, size, offset)
+            poly = self._fold(ext, poly, zeta)
+            evals = ext.evaluate_offset_fft(poly, 1, size, offset)
             evals_br = ntt.bit_reverse_permute(evals)
-            pairs = jnp.stack([evals_br[..., 0::2], evals_br[..., 1::2]],
-                              axis=1)  # (K, 2, size/2)
+            pairs = jnp.concatenate(
+                [ext.as_base_columns(evals_br[:, None, 0::2]),
+                 ext.as_base_columns(evals_br[:, None, 1::2])],
+                axis=1)  # (K, 2*D, size/2)
             tree = MerkleTree.build(backend, pairs)
             layers.append((evals_br, tree))
             roots.append(tree.root)
             transcript.append_bytes(tree.root)
-        zeta = transcript.sample_field_element()
-        poly = self._fold(f, poly, zeta)
-        last_value = int(f.to_ints(poly[..., 0]))
-        transcript.append_field_element(f(last_value))
+        zeta = ext.sample(transcript)
+        poly = self._fold(ext, poly, zeta)
+        last_value = ext.host_value(poly[..., 0])
+        ext.append(transcript, ext.host(last_value))
         return roots, layers, last_value
 
     @staticmethod
-    def _fold(f, poly, zeta):
+    def _fold(ext, poly, zeta):
         """p' = 2 * (p_even + zeta * p_odd)  (``fri_functions.rs:7`` with the
         factor 2 from ``fri/mod.rs:51``)."""
+        fd = ext.fd
         even = poly[..., 0::2]
         odd = poly[..., 1::2]
         m = even.shape[-1]
-        zc = f.constant(zeta.value, (m,))
-        two = f.constant(2, (m,))
-        return f.mul(two, f.add(even, f.mul(zc, odd)))
+        zc = fd.constant(ext.value_of(zeta), (m,))
+        two = fd.constant(2, (m,))
+        return fd.mul(two, fd.add(even, fd.mul(zc, odd)))
 
-    def _fri_query(self, f, layers, iotas):
+    def _fri_query(self, ext, layers, iotas):
         """FRI decommitments (``fri/mod.rs:77``)."""
         out = []
         for iota in iotas:
             evals_sym, paths = [], []
             index = iota
             for evals_br, tree in layers:
-                evals_sym.append(int(f.to_ints(evals_br[..., index ^ 1])))
+                evals_sym.append(ext.host_value(evals_br[..., index ^ 1]))
                 paths.append(tree.get_proof_by_pos(index >> 1))
                 index >>= 1
             out.append(FriDecommitment(layers_auth_paths=paths,

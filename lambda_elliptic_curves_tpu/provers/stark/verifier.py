@@ -13,6 +13,7 @@ from ...merkle import KeccakBatchBackend
 from . import grinding
 from .air import HostCtx, host_frame
 from .domain import Domain
+from .extension import ChallengeBundle
 from .proof import StarkProof
 
 
@@ -23,21 +24,25 @@ class Verifier:
     def verify(self, proof: StarkProof, pub_inputs, proof_options,
                transcript) -> bool:
         air = self.air_class(proof.trace_length, pub_inputs, proof_options)
-        f = air.field
+        ext = ChallengeBundle(air.field, getattr(air, "extension_degree", 1))
+        if ext.degree > 1 and air.has_trace_interaction:
+            return False
         domain = Domain(air)
-        N = domain.lde_size
-        challenges = self._step_1_replay_rounds(air, domain, proof, transcript)
+        challenges = self._step_1_replay_rounds(air, ext, domain, proof,
+                                                transcript)
         if challenges is None:
             return False
-        if not self._step_2_composition_claim(air, domain, proof, challenges):
+        if not self._step_2_composition_claim(air, ext, domain, proof,
+                                              challenges):
             return False
-        if not self._step_3_and_4_fri_and_deep(air, domain, proof, challenges):
+        if not self._step_3_and_4_fri_and_deep(air, ext, domain, proof,
+                                               challenges):
             return False
         return True
 
     # ------------------------------------------------------------------
-    def _step_1_replay_rounds(self, air, domain, proof, transcript):
-        f = air.field
+    def _step_1_replay_rounds(self, air, ext, domain, proof, transcript):
+        E = ext.host
         N = domain.lde_size
         transcript.append_bytes(proof.lde_trace_main_merkle_root)
         rap_challenges = []
@@ -47,10 +52,10 @@ class Verifier:
                 return None
             transcript.append_bytes(proof.lde_trace_aux_merkle_root)
 
-        beta = transcript.sample_field_element()
+        beta = ext.sample(transcript)
         boundary = air.boundary_constraints(rap_challenges)
         n_transition = air.num_transition_constraints
-        coeffs, acc = [], f(1)
+        coeffs, acc = [], E(1)
         for _ in range(n_transition + len(boundary)):
             coeffs.append(acc)
             acc = acc * beta
@@ -58,21 +63,21 @@ class Verifier:
         boundary_coeffs = coeffs[n_transition:]
 
         transcript.append_bytes(proof.composition_poly_root)
-        z = transcript.sample_z_ood(domain.coset_offset, N, domain.root_order)
+        z = ext.sample_z_ood(transcript, domain.coset_offset, N,
+                             domain.root_order)
 
         num_cols = len(proof.trace_ood_evaluations[0])
         for j in range(num_cols):
             for k in range(len(air.transition_offsets)):
-                transcript.append_field_element(
-                    f(proof.trace_ood_evaluations[k][j])
-                )
+                ext.append(transcript,
+                           E(proof.trace_ood_evaluations[k][j]))
         for v in proof.composition_poly_parts_ood_evaluation:
-            transcript.append_field_element(f(v))
+            ext.append(transcript, E(v))
 
-        gamma = transcript.sample_field_element()
+        gamma = ext.sample(transcript)
         nparts = len(proof.composition_poly_parts_ood_evaluation)
         n_trace_terms = len(air.transition_offsets) * air.step_size * num_cols
-        gammas, acc = [], f(1)
+        gammas, acc = [], E(1)
         for _ in range(n_trace_terms + nparts):
             gammas.append(acc)
             acc = acc * gamma
@@ -82,10 +87,10 @@ class Verifier:
         # FRI challenge replay
         zetas = []
         for root in proof.fri_layers_merkle_roots:
-            zetas.append(transcript.sample_field_element())
+            zetas.append(ext.sample(transcript))
             transcript.append_bytes(root)
-        zetas.append(transcript.sample_field_element())
-        transcript.append_field_element(f(proof.fri_last_value))
+        zetas.append(ext.sample(transcript))
+        ext.append(transcript, E(proof.fri_last_value))
 
         # grinding
         if air.options.grinding_factor > 0:
@@ -111,30 +116,30 @@ class Verifier:
         }
 
     # ------------------------------------------------------------------
-    def _step_2_composition_claim(self, air, domain, proof, ch) -> bool:
+    def _step_2_composition_claim(self, air, ext, domain, proof, ch) -> bool:
         """H(z) from the parts' OOD values must equal the boundary +
         transition combination evaluated on the OOD frame
-        (``verifier.rs:215``)."""
-        f = air.field
+        (``verifier.rs:215``) — all host math in the challenge field E."""
+        E = ext.host
         z = ch["z"]
-        g = f(domain.trace_primitive_root)
+        g = E(domain.trace_primitive_root)
         n = domain.trace_length
         nparts = len(proof.composition_poly_parts_ood_evaluation)
 
         # left side: sum_i H_i(z^nparts) * z^i
-        z_pow = f(1)
-        lhs = f(0)
+        z_pow = E(1)
+        lhs = E(0)
         for v in proof.composition_poly_parts_ood_evaluation:
-            lhs = lhs + f(v) * z_pow
+            lhs = lhs + E(v) * z_pow
             z_pow = z_pow * z
 
         # right side
-        rhs = f(0)
+        rhs = E(0)
         frame0 = proof.trace_ood_evaluations[0]
         for bc, beta_c in zip(ch["boundary"], ch["boundary_coeffs"]):
             col = bc.col + (air.trace_columns if bc.is_aux else 0)
-            t_z = f(frame0[col])
-            value = f(bc.value.value if hasattr(bc.value, "value")
+            t_z = E(frame0[col])
+            value = E(bc.value.value if hasattr(bc.value, "value")
                       else int(bc.value))
             rhs = rhs + beta_c * (t_z - value) / (z - g**bc.step)
 
@@ -143,10 +148,10 @@ class Verifier:
         for values in air.get_periodic_column_values():
             vals = [int(v) for v in values]
             cycled = (vals * (n // len(vals) + 1))[:n]
-            periodic_at_z.append(self._interpolate_eval_host(f, cycled, z,
+            periodic_at_z.append(self._interpolate_eval_host(E, cycled, z,
                                                              domain))
-        ctx = HostCtx(f)
-        frame = host_frame([[f(v) for v in row]
+        ctx = HostCtx(E)
+        frame = host_frame([[E(v) for v in row]
                             for row in proof.trace_ood_evaluations])
         evaluations = air.compute_transition(ctx, frame, periodic_at_z,
                                              ch["rap_challenges"])
@@ -171,17 +176,17 @@ class Verifier:
         return zn * total / f(n)
 
     # ------------------------------------------------------------------
-    def _step_3_and_4_fri_and_deep(self, air, domain, proof, ch) -> bool:
+    def _step_3_and_4_fri_and_deep(self, air, ext, domain, proof, ch) -> bool:
         f = air.field
+        E = ext.host
         backend = KeccakBatchBackend(f)
         N = domain.lde_size
-        w = f(domain.lde_primitive_root)
-        offset = f(domain.coset_offset)
+        w_int = domain.lde_primitive_root
+        offs_int = domain.coset_offset
         z = ch["z"]
-        g = f(domain.trace_primitive_root)
+        g = E(domain.trace_primitive_root)
         nparts = len(proof.composition_poly_parts_ood_evaluation)
         z_power = z**nparts
-        num_cols = len(proof.trace_ood_evaluations[0])
         num_main = air.trace_columns
 
         rev = _bitrev_fn(N)
@@ -217,13 +222,16 @@ class Verifier:
             if not comp.proof.verify(backend, proof.composition_poly_root,
                                      iota, comp_leaf):
                 return False
+            # leaf base ints -> E part values (component-major layout)
+            comp_vals = ext.unflatten_leaf(comp.evaluations, nparts)
+            comp_vals_sym = ext.unflatten_leaf(comp.evaluations_sym, nparts)
 
             # ---- step 4: reconstruct DEEP values at x0 and -x0 ----
-            x0 = offset * w ** rev(idx)
-            v0 = self._deep_value(f, air, proof, ch, row, comp.evaluations,
+            x0 = E(offs_int * pow(w_int, rev(idx), f.p) % f.p)
+            v0 = self._deep_value(E, air, proof, ch, row, comp_vals,
                                   x0, z, z_power, g)
-            v0_sym = self._deep_value(f, air, proof, ch, row_sym,
-                                      comp.evaluations_sym, -x0, z, z_power, g)
+            v0_sym = self._deep_value(E, air, proof, ch, row_sym,
+                                      comp_vals_sym, -x0, z, z_power, g)
 
             # ---- step 3: walk the FRI layers ----
             # Index algebra: bit-reversed layouts make the fold of the pair
@@ -238,9 +246,9 @@ class Verifier:
             x = x0 * x0  # point of `cur` in the first committed layer
             index = iota
             for li, root in enumerate(proof.fri_layers_merkle_roots):
-                ev_sym = f(decommit.layers_evaluations_sym[li])
-                pair = ([cur.value, ev_sym.value] if index % 2 == 0
-                        else [ev_sym.value, cur.value])
+                ev_sym = E(decommit.layers_evaluations_sym[li])
+                even, odd = (cur, ev_sym) if index % 2 == 0 else (ev_sym, cur)
+                pair = ext.flat(even) + ext.flat(odd)
                 if not decommit.layers_auth_paths[li].verify(
                     backend, root, index >> 1, pair
                 ):
@@ -248,26 +256,27 @@ class Verifier:
                 cur = fold(cur, ev_sym, x, ch["zetas"][li + 1])
                 x = x * x
                 index >>= 1
-            if cur != f(proof.fri_last_value):
+            if cur != E(proof.fri_last_value):
                 return False
         return True
 
     @staticmethod
-    def _deep_value(f, air, proof, ch, trace_row, comp_values, x, z, z_power,
+    def _deep_value(E, air, proof, ch, trace_row, comp_values, x, z, z_power,
                     g):
-        """p0(x) from opened values (``verifier.rs:533`` reconstruction)."""
-        acc = f(0)
+        """p0(x) from opened values (``verifier.rs:533`` reconstruction).
+        ``trace_row`` holds base ints; ``comp_values`` holds E elements."""
+        acc = E(0)
         offsets = air.transition_offsets
         gi = 0
         for j, t_x in enumerate(trace_row):
             for k, off in enumerate(offsets):
-                ood = f(proof.trace_ood_evaluations[k][j])
-                acc = acc + ch["trace_gammas"][gi] * (f(t_x) - ood) \
+                ood = E(proof.trace_ood_evaluations[k][j])
+                acc = acc + ch["trace_gammas"][gi] * (E(t_x) - ood) \
                     / (x - z * g**off)
                 gi += 1
         for i, h_x in enumerate(comp_values):
-            ood = f(proof.composition_poly_parts_ood_evaluation[i])
-            acc = acc + ch["comp_gammas"][i] * (f(h_x) - ood) / (x - z_power)
+            ood = E(proof.composition_poly_parts_ood_evaluation[i])
+            acc = acc + ch["comp_gammas"][i] * (h_x - ood) / (x - z_power)
         return acc
 
 
