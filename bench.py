@@ -1,12 +1,16 @@
-"""Benchmark: Stark252 polynomial interpolation (inverse NTT) on one chip.
+"""Benchmark suite: the five BASELINE configs, each with a correctness
+oracle on the timed path.
 
-Headline metric matching the reference's published table
-(docs/src/fft/benchmarks.md, BASELINE.md): wall time to interpolate a
-polynomial from 2^N evaluations over the Stark252 field, including twiddle
-generation and bit-reverse permutation.  Baseline: Metal GPU on M1
-(4652.9 ms at 2^24; 1144.9 ms at 2^22).
+Per config, prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N|null, "check": "ok"}
+The final line is the headline metric (Stark252 interpolate), matching the
+reference's only published table (docs/src/fft/benchmarks.md, BASELINE.md:
+Metal GPU on M1 — 1144.9 ms at 2^22, 4652.9 ms at 2^24).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Config selection: BENCH_CONFIGS=ntt,msm,stark,small,groth16 (default all);
+BENCH_LOG_N (stark252 NTT size, default 22), BENCH_MSM_LOG (default 18).
+A config whose oracle fails reports "check": "FAIL" — the timing of an
+incorrect kernel is not a result.
 """
 
 import json
@@ -14,12 +18,303 @@ import os
 import sys
 import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 
-BASELINES_MS = {24: 4652.9, 23: 2340.1, 22: 1144.9, 21: 574.2}
+def _median_ms(fn, *args, reps=3):
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile + warmup
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[reps // 2] * 1000.0, out
 
+
+def _emit(row):
+    print(json.dumps(row), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# config 1 — Stark252 NTT interpolate (headline; BASELINE configs[0])
+# ---------------------------------------------------------------------------
+
+NTT_BASELINES_MS = {24: 4652.9, 23: 2340.1, 22: 1144.9, 21: 574.2}
+
+
+def bench_ntt():
+    from lambda_elliptic_curves_tpu.fields import Stark252 as f
+    from lambda_elliptic_curves_tpu.poly import ntt
+    from lambda_elliptic_curves_tpu.poly.polynomial import field_sum
+
+    log_n = int(os.environ.get("BENCH_LOG_N", "22"))
+    n = 1 << log_n
+    key = jax.random.PRNGKey(0)
+    digits = jax.random.randint(
+        key, (f.num_digits, n), 0, 1 << 16, dtype=jnp.uint32)
+    digits = digits.at[-1].set(digits[-1] & jnp.uint32(0x07FF))
+
+    interpolate = jax.jit(lambda evals: ntt.ifft(evals, f))
+    ms, coeffs = _median_ms(interpolate, digits)
+
+    # oracle: spot-check coeffs at 3 DFT points — poly(w^j) == evals[j]
+    w = f.params.primitive_root_of_unity(log_n)
+    ok = True
+    for j in (0, 1, n // 3):
+        pws = ntt.powers(f, pow(w, j, f.p), n)
+        got = int(f.to_ints(field_sum(f, f.mul(coeffs, pws))))
+        want = int(f.to_ints(digits[..., j]))
+        ok &= (got % f.p) == (want % f.p)
+
+    baseline = NTT_BASELINES_MS.get(log_n)
+    return {
+        "metric": f"stark252_interpolate_2^{log_n}",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(baseline / ms, 3) if baseline else None,
+        "check": "ok" if ok else "FAIL",
+    }
+
+
+# ---------------------------------------------------------------------------
+# config 2 — BabyBear NTT 2^20 + Poseidon Merkle commit (BASELINE configs[1])
+# ---------------------------------------------------------------------------
+
+def bench_small_field():
+    from lambda_elliptic_curves_tpu.fields import BabyBear, Stark252
+    from lambda_elliptic_curves_tpu.poly import ntt
+    from lambda_elliptic_curves_tpu.poly.polynomial import field_sum
+    from lambda_elliptic_curves_tpu.merkle import MerkleTree
+    from lambda_elliptic_curves_tpu.merkle.backends import PoseidonBackend
+
+    log_n = int(os.environ.get("BENCH_SMALL_LOG_N", "20"))
+    n = 1 << log_n
+    f = BabyBear
+    key = jax.random.PRNGKey(2)
+    digits = jax.random.randint(
+        key, (f.num_digits, n), 0, 1 << 12, dtype=jnp.uint32)
+
+    fwd = jax.jit(lambda c: ntt.fft(c, f))
+    ms_ntt, evals = _median_ms(fwd, digits)
+
+    # oracle: evals[j] == poly(w^j) at 3 points
+    w = f.params.primitive_root_of_unity(log_n)
+    ok = True
+    for j in (1, 7, n // 5):
+        pws = ntt.powers(f, pow(w, j, f.p), n)
+        got = int(f.to_ints(field_sum(f, f.mul(digits, pws))))
+        want = int(f.to_ints(evals[..., j]))
+        ok &= (got % f.p) == (want % f.p)
+    row = {
+        "metric": f"babybear_ntt_2^{log_n}",
+        "value": round(ms_ntt, 2),
+        "unit": "ms",
+        "vs_baseline": None,
+        "check": "ok" if ok else "FAIL",
+    }
+    _emit(row)
+
+    # Poseidon (Starknet s128b over Stark252) Merkle commit
+    log_leaves = int(os.environ.get("BENCH_MERKLE_LOG", "16"))
+    m = 1 << log_leaves
+    fs = Stark252
+    leaves = jax.random.randint(
+        jax.random.PRNGKey(3), (fs.num_digits, m), 0, 1 << 14,
+        dtype=jnp.uint32)
+    backend = PoseidonBackend()
+
+    def build(lv):
+        return MerkleTree.build(backend, lv).levels[-1]
+
+    ms_merkle, _root = _median_ms(build, leaves)
+    tree = MerkleTree.build(backend, leaves)
+    # oracle: inclusion proofs verify on the host path
+    ok2 = all(
+        tree.get_proof_by_pos(i).verify(backend, tree.root, i,
+                                        backend.to_host(leaves)[i])
+        for i in (0, 5, m - 1)
+    )
+    return {
+        "metric": f"poseidon_merkle_commit_2^{log_leaves}",
+        "value": round(ms_merkle, 2),
+        "unit": "ms",
+        "vs_baseline": None,
+        "check": "ok" if ok2 else "FAIL",
+    }
+
+
+# ---------------------------------------------------------------------------
+# config 3 — BLS12-381 G1 Pippenger MSM (BASELINE configs[2])
+# ---------------------------------------------------------------------------
+
+def bench_msm():
+    from lambda_elliptic_curves_tpu.curves.zoo import BLS12381Curve
+    from lambda_elliptic_curves_tpu.curves.weierstrass import JacobianOps
+    from lambda_elliptic_curves_tpu.curves import msm as msm_mod
+    from lambda_elliptic_curves_tpu.ops import limbs
+
+    log_b = int(os.environ.get("BENCH_MSM_LOG", "18"))
+    B = 1 << log_b
+    curve = BLS12381Curve
+    ops = JacobianOps(curve)
+    order = curve.order
+    f = curve.field
+    p = f.p
+
+    base = 1 << min(log_b, 14)
+    reps = B // base
+
+    # affine points (i+1)*G incrementally with exact host ints
+    g = curve.generator()
+    xs = np.empty(base, dtype=object)
+    ys = np.empty(base, dtype=object)
+    ax, ay = g.x, g.y
+    gx, gy = g.x, g.y
+    for i in range(base):
+        xs[i], ys[i] = ax, ay
+        if i + 1 < base:
+            lam = (ay - gy) * pow(ax - gx, -1, p) % p if i else (
+                3 * ax * ax * pow(2 * ay, -1, p) % p)
+            nx = (lam * lam - ax - gx) % p
+            ay = (lam * (ax - nx) - ay) % p
+            ax = nx
+
+    px = f.array(list(xs))
+    py = f.array(list(ys))
+    pz = f.constant(1, (base,))
+    if reps > 1:
+        px = jnp.tile(px, (1, reps))
+        py = jnp.tile(py, (1, reps))
+        pz = jnp.tile(pz, (1, reps))
+    pts = (px, py, pz)
+
+    Ks = max(1, -(-order.bit_length() // 16))
+    sd = jax.random.randint(jax.random.PRNGKey(1), (Ks, B), 0, 1 << 16,
+                            dtype=jnp.int32).astype(jnp.uint32)
+    sd = sd.at[-1].set(0)
+
+    run = jax.jit(lambda sd, pts: msm_mod.msm_pippenger(curve, sd, pts))
+    ms, out = _median_ms(run, sd, pts)
+
+    # oracle: scalars s_i pair with point ((i mod base)+1)*G
+    class _T:
+        digit_bits = 16
+        digit_mask = 0xFFFF
+        num_digits = Ks
+        p = 1 << (16 * Ks)
+
+    sints = limbs.digits_to_ints_np(np.asarray(sd), _T)
+    total = sum(int(s) * ((i % base) + 1)
+                for i, s in enumerate(sints)) % order
+    want = g * total
+    got = ops.to_host(out)[0]
+    return {
+        "metric": f"bls12_381_g1_msm_2^{log_b}",
+        "value": round(B / ms * 1e3, 1),
+        "unit": "points/s",
+        "vs_baseline": None,
+        "check": "ok" if got == want else "FAIL",
+        "wall_ms": round(ms, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# config 4 — STARK Fibonacci prove end-to-end (BASELINE configs[3])
+# ---------------------------------------------------------------------------
+
+def bench_stark():
+    from lambda_elliptic_curves_tpu.fields import Stark252
+    from lambda_elliptic_curves_tpu.fiat_shamir import DefaultTranscript
+    from lambda_elliptic_curves_tpu.provers.stark import (
+        ProofOptions, prove, verify,
+    )
+    from lambda_elliptic_curves_tpu.provers.stark.examples.fibonacci import (
+        FibonacciPublicInputs, fibonacci_air_for, fibonacci_trace,
+    )
+
+    log_rows = int(os.environ.get("BENCH_STARK_LOG", "12"))
+    rows = 1 << log_rows
+    field = Stark252
+    air_cls = fibonacci_air_for(field)
+    trace = fibonacci_trace(field, [1, 1], rows)
+    pub = FibonacciPublicInputs(a0=1, a1=1)
+    options = ProofOptions(blowup_factor=4, fri_number_of_queries=32,
+                           coset_offset=3, grinding_factor=0)
+
+    # one warmup prove (compiles), then timed proves
+    prove(air_cls, trace, pub, options, DefaultTranscript(field))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        proof = prove(air_cls, trace, pub, options, DefaultTranscript(field))
+        times.append(time.perf_counter() - t0)
+    ms = sorted(times)[1] * 1000.0
+    ok = verify(air_cls, proof, pub, options, DefaultTranscript(field))
+    return {
+        "metric": f"stark_fib_prove_2^{log_rows}",
+        "value": round(ms, 1),
+        "unit": "ms",
+        "vs_baseline": None,
+        "check": "ok" if ok else "FAIL",
+    }
+
+
+# ---------------------------------------------------------------------------
+# config 5 — Groth16 prove (BASELINE configs[4])
+# ---------------------------------------------------------------------------
+
+def bench_groth16():
+    import random as _random
+    from lambda_elliptic_curves_tpu.fields import zoo as FZ
+    from lambda_elliptic_curves_tpu.provers.groth16.r1cs import R1CS
+    from lambda_elliptic_curves_tpu.provers.groth16.qap import (
+        QuadraticArithmeticProgram,
+    )
+    from lambda_elliptic_curves_tpu.provers.groth16 import setup as g16_setup
+    from lambda_elliptic_curves_tpu.provers.groth16 import prover as g16_prover
+    from lambda_elliptic_curves_tpu.provers.groth16 import (
+        verifier as g16_verifier,
+    )
+
+    # multiplication-chain circuit: w_{i+1} = w_i * w_1, n constraints
+    n_constraints = int(os.environ.get("BENCH_G16_CONSTRAINTS", "256"))
+    fr = FZ.BLS12381Fr
+    r = fr.p
+    nvars = n_constraints + 2  # [1, x, x^2, ..., x^{n+1}]
+    a_rows, b_rows, c_rows = [], [], []
+    for i in range(n_constraints):
+        a = [0] * nvars
+        b = [0] * nvars
+        c = [0] * nvars
+        a[i + 1] = 1
+        b[1] = 1
+        c[i + 2] = 1
+        a_rows.append(a)
+        b_rows.append(b)
+        c_rows.append(c)
+    r1cs = R1CS.from_matrices(a_rows, b_rows, c_rows, number_of_inputs=1)
+    qap = QuadraticArithmeticProgram.from_r1cs(fr, r1cs)
+    x = 3
+    witness = [1] + [pow(x, i + 1, r) for i in range(nvars - 1)]
+    pk, vk = g16_setup.setup(qap, rng=_random.Random(42))
+
+    t0 = time.perf_counter()
+    proof = g16_prover.prove(witness, qap, pk, rng=_random.Random(7))
+    ms = (time.perf_counter() - t0) * 1000.0
+    ok = g16_verifier.verify(vk, proof, witness[1:2])
+    return {
+        "metric": f"groth16_prove_{n_constraints}c",
+        "value": round(ms, 1),
+        "unit": "ms",
+        "vs_baseline": None,
+        "check": "ok" if ok else "FAIL",
+    }
+
+
+# ---------------------------------------------------------------------------
 
 def main():
     from lambda_elliptic_curves_tpu.utils.jax_cache import (
@@ -27,40 +322,32 @@ def main():
     )
 
     enable_compilation_cache()
-    from lambda_elliptic_curves_tpu.fields import Stark252 as f
-    from lambda_elliptic_curves_tpu.poly import ntt
 
-    log_n = int(os.environ.get("BENCH_LOG_N", "22"))
-    n = 1 << log_n
-
-    # random-ish evaluations straight on device (avoid slow host conversion)
-    key = jax.random.PRNGKey(0)
-    digits = jax.random.randint(
-        key, (f.num_digits, n), 0, 1 << 16, dtype=jnp.uint32
-    )
-    # clear the top digit so values are < p (canonical enough for timing and
-    # still full-width work)
-    digits = digits.at[-1].set(digits[-1] & jnp.uint32(0x07FF))
-
-    interpolate = jax.jit(lambda evals: ntt.ifft(evals, f))
-    out = interpolate(digits)
-    jax.block_until_ready(out)  # compile + warmup
-
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(interpolate(digits))
-        times.append(time.perf_counter() - t0)
-    ms = sorted(times)[1] * 1000.0
-
-    baseline = BASELINES_MS.get(log_n)
-    vs = (baseline / ms) if baseline else None
-    print(json.dumps({
-        "metric": f"stark252_interpolate_2^{log_n}",
-        "value": round(ms, 2),
-        "unit": "ms",
-        "vs_baseline": round(vs, 3) if vs else None,
-    }))
+    wanted = os.environ.get("BENCH_CONFIGS",
+                            "small,msm,stark,groth16,ntt").split(",")
+    configs = {
+        "small": bench_small_field,
+        "msm": bench_msm,
+        "stark": bench_stark,
+        "groth16": bench_groth16,
+        "ntt": bench_ntt,   # headline last: the driver parses the last line
+    }
+    results = []
+    for name in wanted:
+        fn = configs.get(name.strip())
+        if fn is None:
+            continue
+        try:
+            row = fn()
+        except Exception as e:  # noqa: BLE001 — a broken config must not
+            row = {"metric": name, "error": repr(e)[:300]}  # kill the rest
+        results.append(row)
+        _emit(row)
+    try:
+        with open("bench_results.json", "w") as fh:
+            json.dump(results, fh, indent=1)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
