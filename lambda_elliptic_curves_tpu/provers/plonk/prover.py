@@ -121,7 +121,11 @@ class Prover:
         pi_y = list(public_input) + [f(0)] * (n - len(public_input))
         p_pi = _interp(f, pi_y)
 
-        ev = lambda poly: _eval_offset(f, poly, degree, offset)
+        # vectorised quotient: all 4n-coset evaluations stay on device as
+        # (K, 4n) digit arrays — the hottest Plonk round runs as a handful
+        # of batched field kernels instead of a host loop (prover.rs
+        # round_3 under rayon; here: one fused XLA program).
+        ev = lambda poly: _eval_offset_dev(f, poly, degree, offset)
         a_e, b_e, c_e = ev(p_a), ev(p_b), ev(p_c)
         ql_e, qr_e, qm_e = ev(cpi.ql), ev(cpi.qr), ev(cpi.qm)
         qo_e, qc_e, pi_e = ev(cpi.qo), ev(cpi.qc), ev(p_pi)
@@ -131,21 +135,34 @@ class Prover:
         l1_e = ev(l1)
         zh_e = ev(zh)
 
-        p_eval = []
-        for i in range(degree):
-            gates = a_e[i] * b_e[i] * qm_e[i] + a_e[i] * ql_e[i] \
-                + b_e[i] * qr_e[i] + c_e[i] * qo_e[i] + qc_e[i] + pi_e[i]
-            f_i = (a_e[i] + x_e[i] * beta + gamma) \
-                * (b_e[i] + x_e[i] * beta * k1 + gamma) \
-                * (c_e[i] + x_e[i] * beta * k2 + gamma)
-            g_i = (a_e[i] + s1_e[i] * beta + gamma) \
-                * (b_e[i] + s2_e[i] * beta + gamma) \
-                * (c_e[i] + s3_e[i] * beta + gamma)
-            perm1 = g_i * zw_e[i] - f_i * z_e[i]
-            perm2 = (z_e[i] - f(1)) * l1_e[i]
-            p_eval.append(((perm2 * alpha + perm1) * alpha + gates)
-                          / zh_e[i])
-        t = _interp_offset(f, p_eval, offset)
+        const = lambda v: f.constant(int(v), (degree,))
+        add3 = lambda u, v, w: f.add(f.add(u, v), w)
+        gates = add3(
+            f.add(f.mul(f.mul(a_e, b_e), qm_e), f.mul(a_e, ql_e)),
+            f.add(f.mul(b_e, qr_e), f.mul(c_e, qo_e)),
+            f.add(qc_e, pi_e),
+        )
+        gamma_c = const(gamma)
+        xb = f.mul(x_e, const(beta))
+        f_i = f.mul(
+            f.mul(add3(a_e, xb, gamma_c),
+                  add3(b_e, f.mul(xb, const(k1)), gamma_c)),
+            add3(c_e, f.mul(xb, const(k2)), gamma_c),
+        )
+        beta_c = const(beta)
+        g_i = f.mul(
+            f.mul(add3(a_e, f.mul(s1_e, beta_c), gamma_c),
+                  add3(b_e, f.mul(s2_e, beta_c), gamma_c)),
+            add3(c_e, f.mul(s3_e, beta_c), gamma_c),
+        )
+        perm1 = f.sub(f.mul(g_i, zw_e), f.mul(f_i, z_e))
+        perm2 = f.mul(f.sub(z_e, const(1)), l1_e)
+        alpha_c = const(alpha)
+        numerator = f.add(
+            f.mul(f.add(f.mul(perm2, alpha_c), perm1), alpha_c), gates)
+        p_eval = f.mul(numerator, f.batch_inverse(zh_e))
+        t_coeffs = ntt.interpolate_offset_fft(f, p_eval, int(offset))
+        t = Polynomial(f, [int(v) for v in f.to_ints(t_coeffs)])
 
         tc = t.coefficients + [f(0)] * (3 * (n + 2) - len(t.coefficients))
         p_t_lo = Polynomial(f, tc[: n + 2])
@@ -216,9 +233,14 @@ def _interp(field, values) -> Polynomial:
 
 
 def _eval_offset(field, poly: Polynomial, degree: int, offset) -> list:
+    return [field(int(v)) for v in
+            field.to_ints(_eval_offset_dev(field, poly, degree, offset))]
+
+
+def _eval_offset_dev(field, poly: Polynomial, degree: int, offset):
+    """(K, degree) device evaluations of ``poly`` on the offset coset."""
     arr = poly.to_device(degree) if poly.coeff_len() else field.zeros((degree,))
-    evals = ntt.evaluate_offset_fft(field, arr, 1, degree, int(offset))
-    return [field(int(v)) for v in field.to_ints(evals)]
+    return ntt.evaluate_offset_fft(field, arr, 1, degree, int(offset))
 
 
 def _interp_offset(field, values, offset) -> Polynomial:
