@@ -1,0 +1,112 @@
+"""Sharded STARK round 1: trace interpolation, coset LDE and Merkle
+commitment over a device mesh.
+
+This is the bulk of STARK proving wall-time (SURVEY §3.1 round_1 —
+``prover.rs:208`` interpolate_and_commit: per-column ``interpolate_fft``,
+``evaluate_offset_fft`` on the LDE coset, batched Merkle).  The reference
+parallelises it with rayon on one host (``prover.rs:316``); here the two
+NTT stages ride the four-step all-to-all (:func:`.ntt_sharded.sharded_ntt`
+— the only explicit cross-chip exchange), while leaf hashing and the tree
+reduction are written as global-array ops with a sharding constraint on
+the leaf axis, letting XLA's SPMD partitioner place the (tiny) top-of-tree
+collectives.
+
+The committed root is bit-for-bit the single-device
+``MerkleTree.build(KeccakBatchBackend(f), lde_br)`` root, so proofs opened
+against it verify with the unchanged verifier.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..merkle.backends import KeccakBatchBackend
+from ..poly import ntt
+from .ntt_sharded import sharded_ntt
+
+
+def sharded_trace_lde(field, trace_cols, mesh: Mesh, blowup: int = 4,
+                      coset_offset: int = 3, axis_name: str = "x"):
+    """(K, C, n) trace columns -> (K, C, N) bit-reversed LDE evaluations,
+    with both NTT passes sharded over ``mesh``.
+
+    Matches ``ntt.bit_reverse_permute(ntt.evaluate_offset_fft(
+    ntt.interpolate_fft(trace), blowup, n, offset))`` exactly.
+    """
+    K, C, n = trace_cols.shape
+    N = n * blowup
+    D = mesh.shape[axis_name]
+
+    def _splittable(size: int) -> bool:
+        log = size.bit_length() - 1
+        n1 = 1 << max(log // 2, D.bit_length() - 1)
+        n2 = size // n1
+        return n1 % D == 0 and n2 > 0 and n2 % D == 0
+
+    # interpolate each column: inverse sharded NTT (C is small: loop);
+    # transforms too small for the D-way four-step run locally — the
+    # sharded commit below still spreads the leaf hashing
+    if _splittable(n):
+        tpolys = jnp.stack(
+            [sharded_ntt(field, trace_cols[:, c], mesh, axis_name,
+                         ordering="natural", inverse=True)
+             for c in range(C)], axis=1)  # (K, C, n)
+    else:
+        tpolys = ntt.interpolate_fft(field, trace_cols)
+
+    # offset-scale + zero-pad (local elementwise), then forward NTT at N
+    offs = ntt.powers(field, coset_offset % field.p, n)  # (K, n)
+    scaled = field.mul(tpolys, jnp.broadcast_to(offs[:, None], tpolys.shape))
+    padded = jnp.concatenate(
+        [scaled, jnp.zeros((K, C, N - n), jnp.uint32)], axis=-1)
+    if _splittable(N):
+        lde = jnp.stack(
+            [sharded_ntt(field, padded[:, c], mesh, axis_name,
+                         ordering="natural")
+             for c in range(C)], axis=1)  # (K, C, N)
+    else:
+        root = field.params.primitive_root_of_unity(N.bit_length() - 1)
+        lde = ntt.fft_with_root(padded, field, root)
+    return ntt.bit_reverse_permute(lde)
+
+
+def sharded_commit(field, lde_br, mesh: Mesh, axis_name: str = "x"):
+    """Batched-row Keccak Merkle commitment of (K, C, N) bit-reversed LDE
+    columns, leaf axis sharded over the mesh.  Returns
+    ``(root_bytes, levels)`` with the same root as the single-device
+    ``MerkleTree.build``."""
+    backend = KeccakBatchBackend(field)
+    spec = NamedSharding(mesh, P(None, None, axis_name))
+    lde_br = jax.lax.with_sharding_constraint(lde_br, spec)
+
+    leaf_spec = NamedSharding(mesh, P(None, axis_name))
+
+    @jax.jit
+    def _tree(arr):
+        nodes = backend.hash_leaves(arr)  # (8 words, N)
+        nodes = jax.lax.with_sharding_constraint(nodes, leaf_spec)
+        levels = [nodes]
+        while nodes.shape[-1] > 1:
+            nodes = backend.hash_parents(nodes)
+            levels.append(nodes)
+        return levels
+
+    levels = _tree(lde_br)
+    root_words = jax.device_get(levels[-1][:, 0])
+    root = b"".join(int(w).to_bytes(4, "little") for w in root_words)
+    return root, levels
+
+
+def sharded_round1(field, trace_cols, mesh: Mesh, blowup: int = 4,
+                   coset_offset: int = 3, axis_name: str = "x"):
+    """Full sharded round 1: trace columns -> (root, lde_br).
+
+    ``root`` equals the single-device prover's main-tree root for the
+    same trace/options (tested in ``tests/test_sharded_stark.py``).
+    """
+    lde_br = sharded_trace_lde(field, trace_cols, mesh, blowup,
+                               coset_offset, axis_name)
+    root, _levels = sharded_commit(field, lde_br, mesh, axis_name)
+    return root, lde_br
