@@ -14,4 +14,6 @@ flaw.
   polynomial: recovery below the threshold.
 * :mod:`exercises.mutable_leaves` — Merkle verification without
   leaf/node domain separation: inner nodes forge as leaves.
+* :mod:`exercises.toxic_waste`   — KZG ceremony with a low-entropy
+  trapdoor seed: recover tau, open any commitment to any value.
 """

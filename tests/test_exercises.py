@@ -80,3 +80,28 @@ def test_mutable_leaves_forgery_and_framework_immunity():
     proof = tree.get_proof_by_pos(0)
     assert proof.verify(be, tree.root, 0, 1)
     assert not proof.verify(be, tree.root, 0, 2)
+
+
+def test_toxic_waste_tau_recovery_and_forgery():
+    from exercises import toxic_waste as tw
+    from lambda_elliptic_curves_tpu.poly.polynomial import Polynomial
+
+    srs = tw.run_ceremony(seed=0x5A)
+    scheme = tw.make_scheme(srs)
+    Fr = tw.Fr
+    poly = Polynomial(Fr, [7, 3, 0, 1])  # p(x) = x^3 + 3x + 7
+    commitment = scheme.commit(poly)
+    z = Fr(5)
+    y_true = poly.evaluate(z)
+
+    # sanity: the honest opening verifies and a false value does not
+    honest = scheme.open(z, y_true, poly)
+    assert scheme.verify(z, y_true, commitment, honest)
+    y_false = y_true + Fr(1)
+    assert not scheme.verify(z, y_false, commitment, honest)
+
+    # the attack: recover tau from the published SRS, forge an opening
+    # for the false value, and the verifier accepts it
+    tau = tw.recover_tau(srs)
+    forged = tw.forge_opening(srs, tau, commitment, int(z), int(y_false))
+    assert scheme.verify(z, y_false, commitment, forged)
