@@ -1,0 +1,141 @@
+"""End-to-end tests for the example SNARKs and the circom adapter
+(parity: ``examples/pinocchio/src/``, ``examples/baby-snark/src/``,
+``provers/groth16/circom-adapter/src/lib.rs`` integration tests).
+
+These are the modules VERDICT r1 flagged as implemented-but-unproven.
+"""
+
+import pathlib
+import random
+
+import pytest
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+# ---------------------------------------------------------------------------
+# Pinocchio
+# ---------------------------------------------------------------------------
+
+def _pinocchio_instance():
+    """Gates over [1, x1, x2, mid, out]: x1*x2 = mid; mid*x1 = out."""
+    from lambda_elliptic_curves_tpu.examples import pinocchio as pk
+
+    a_rows = [[0, 1, 0, 0, 0], [0, 0, 0, 1, 0]]
+    b_rows = [[0, 0, 1, 0, 0], [0, 1, 0, 0, 0]]
+    c_rows = [[0, 0, 0, 1, 0], [0, 0, 0, 0, 1]]
+    qap = pk.PinocchioQAP.from_r1cs(a_rows, b_rows, c_rows,
+                                    number_of_inputs=2, number_of_outputs=1)
+    x1, x2 = 3, 4
+    mid, out = x1 * x2, x1 * x1 * x2
+    return pk, qap, [x1, x2, mid, out], [x1, x2, out]
+
+
+def test_pinocchio_prove_verify():
+    pk_mod, qap, witness, io = _pinocchio_instance()
+    ek, vk = pk_mod.setup(qap, rng=random.Random(5))
+    proof = pk_mod.generate_proof(ek, qap, witness)
+    assert pk_mod.verify(vk, proof, io)
+
+
+def test_pinocchio_rejects_wrong_output():
+    pk_mod, qap, witness, io = _pinocchio_instance()
+    ek, vk = pk_mod.setup(qap, rng=random.Random(5))
+    proof = pk_mod.generate_proof(ek, qap, witness)
+    bad_io = [io[0], io[1], io[2] + 1]
+    assert not pk_mod.verify(vk, proof, bad_io)
+
+
+def test_pinocchio_rejects_invalid_witness():
+    pk_mod, qap, witness, _ = _pinocchio_instance()
+    from lambda_elliptic_curves_tpu.examples.pinocchio import Fr
+
+    bad = list(witness)
+    bad[2] += 1  # mid no longer equals x1*x2 -> p not divisible by target
+    with pytest.raises(ValueError):
+        qap.h_polynomial([Fr(c) for c in bad])
+
+
+# ---------------------------------------------------------------------------
+# BabySNARK
+# ---------------------------------------------------------------------------
+
+def _baby_snark_instance():
+    """(U.w)^2 = 1 with U = I3 over inputs [1, 1, -1]; 2 public."""
+    from lambda_elliptic_curves_tpu.examples import baby_snark as bs
+
+    matrix = [[1, 0, 0], [0, 1, 0], [0, 0, 1]]
+    scs = bs.SquareConstraintSystem.from_matrix(matrix,
+                                                number_of_public_inputs=2)
+    ssp = bs.SquareSpanProgram(scs)
+    inputs = [1, 1, bs.Fr.p - 1]
+    return bs, ssp, inputs
+
+
+def test_baby_snark_prove_verify():
+    bs, ssp, inputs = _baby_snark_instance()
+    assert ssp.check_valid(inputs)
+    pk, vk = bs.setup(ssp, rng=random.Random(11))
+    proof = bs.prove(inputs, ssp, pk, rng=random.Random(3))
+    assert bs.verify(vk, proof, inputs[:2])
+
+
+def test_baby_snark_rejects_wrong_public():
+    bs, ssp, inputs = _baby_snark_instance()
+    pk, vk = bs.setup(ssp, rng=random.Random(11))
+    proof = bs.prove(inputs, ssp, pk, rng=random.Random(3))
+    assert not bs.verify(vk, proof, [1, 2])
+
+
+def test_baby_snark_rejects_invalid_witness():
+    bs, ssp, _ = _baby_snark_instance()
+    pk, vk = bs.setup(ssp, rng=random.Random(11))
+    with pytest.raises(ValueError):
+        bs.prove([1, 1, 3], ssp, pk, rng=random.Random(3))
+
+
+# ---------------------------------------------------------------------------
+# circom adapter -> Groth16 e2e (fixture mirrors snarkjs r1cs-to-json output
+# for `out <== a * b` with public a, private b)
+# ---------------------------------------------------------------------------
+
+def _circom_fixture():
+    from lambda_elliptic_curves_tpu.fields.zoo import BLS12381Fr
+    from lambda_elliptic_curves_tpu.provers.groth16.circom_adapter import (
+        circom_to_lambda,
+    )
+
+    r1cs_json = (FIXTURES / "circom_mul.r1cs.json").read_text()
+    witness_json = (FIXTURES / "circom_mul.witness.json").read_text()
+    return circom_to_lambda(BLS12381Fr, r1cs_json, witness_json)
+
+
+def test_circom_adapter_reorders_witness():
+    qap, witness = _circom_fixture()
+    # circom order [1, out, a, b] -> lambda order [1, a, b, out]
+    assert witness == [1, 3, 5, 15]
+    # "1" + the one public input
+    assert qap.num_of_public_inputs == 2
+
+
+def test_circom_adapter_constraint_satisfied():
+    qap, witness = _circom_fixture()
+    p = qap.field.p
+    for g in range(qap.num_of_gates):
+        a = sum(c * w for c, w in zip(qap.a[g], witness)) % p
+        b = sum(c * w for c, w in zip(qap.b[g], witness)) % p
+        c_ = sum(c * w for c, w in zip(qap.c[g], witness)) % p
+        assert a * b % p == c_
+
+
+def test_circom_groth16_end_to_end():
+    from lambda_elliptic_curves_tpu.provers.groth16 import (
+        prove, setup, verify,
+    )
+
+    qap, witness = _circom_fixture()
+    pk, vk = setup(qap, rng=random.Random(42))
+    proof = prove(witness, qap, pk, rng=random.Random(7))
+    assert verify(vk, proof, witness[:qap.num_of_public_inputs])
+    # wrong public input rejected
+    assert not verify(vk, proof, [1, 4])
