@@ -46,8 +46,12 @@ NTT_BASELINES_MS = {24: 4652.9, 23: 2340.1, 22: 1144.9, 21: 574.2}
 
 
 def bench_ntt():
+    """Times BOTH NTT decompositions (Pease/four-step butterflies and the
+    MXU plane-matmul path), spot-checks each against naive DFT points, and
+    returns the faster one as the headline row (the other is emitted as a
+    secondary metric)."""
     from lambda_elliptic_curves_tpu.fields import Stark252 as f
-    from lambda_elliptic_curves_tpu.poly import ntt
+    from lambda_elliptic_curves_tpu.poly import ntt, ntt_mxu
     from lambda_elliptic_curves_tpu.poly.polynomial import field_sum
 
     log_n = int(os.environ.get("BENCH_LOG_N", "22"))
@@ -57,26 +61,44 @@ def bench_ntt():
         key, (f.num_digits, n), 0, 1 << 16, dtype=jnp.uint32)
     digits = digits.at[-1].set(digits[-1] & jnp.uint32(0x07FF))
 
-    interpolate = jax.jit(lambda evals: ntt.ifft(evals, f))
-    ms, coeffs = _median_ms(interpolate, digits)
-
-    # oracle: spot-check coeffs at 3 DFT points — poly(w^j) == evals[j]
     w = f.params.primitive_root_of_unity(log_n)
-    ok = True
-    for j in (0, 1, n // 3):
-        pws = ntt.powers(f, pow(w, j, f.p), n)
-        got = int(f.to_ints(field_sum(f, f.mul(coeffs, pws))))
-        want = int(f.to_ints(digits[..., j]))
-        ok &= (got % f.p) == (want % f.p)
+
+    def check(coeffs):
+        ok = True
+        for j in (0, 1, n // 3):
+            pws = ntt.powers(f, pow(w, j, f.p), n)
+            got = int(f.to_ints(field_sum(f, f.mul(coeffs, pws))))
+            want = int(f.to_ints(digits[..., j]))
+            ok &= (got % f.p) == (want % f.p)
+        return ok
 
     baseline = NTT_BASELINES_MS.get(log_n)
-    return {
-        "metric": f"stark252_interpolate_2^{log_n}",
-        "value": round(ms, 2),
-        "unit": "ms",
-        "vs_baseline": round(baseline / ms, 3) if baseline else None,
-        "check": "ok" if ok else "FAIL",
+    rows = []
+    impls = {
+        "pease": jax.jit(lambda evals: ntt.ifft(evals, f)),
+        "mxu": jax.jit(lambda evals: ntt_mxu.ifft(evals, f)),
     }
+    for name, fn in impls.items():
+        try:
+            ms, coeffs = _median_ms(fn, digits)
+            rows.append({
+                "metric": f"stark252_interpolate_2^{log_n}_{name}",
+                "value": round(ms, 2),
+                "unit": "ms",
+                "vs_baseline": round(baseline / ms, 3) if baseline else None,
+                "check": "ok" if check(coeffs) else "FAIL",
+            })
+        except Exception as e:  # noqa: BLE001 — one broken impl must not
+            rows.append({"metric": f"ntt_{name}", "error": repr(e)[:200]})
+
+    good = [r for r in rows if r.get("check") == "ok"]
+    for r in rows:
+        if not good or r is not min(good, key=lambda r: r["value"]):
+            _emit(r)
+    if not good:
+        return rows[0]
+    best = min(good, key=lambda r: r["value"])
+    return {**best, "metric": f"stark252_interpolate_2^{log_n}"}
 
 
 # ---------------------------------------------------------------------------
@@ -273,10 +295,8 @@ def bench_groth16():
     from lambda_elliptic_curves_tpu.provers.groth16.qap import (
         QuadraticArithmeticProgram,
     )
-    from lambda_elliptic_curves_tpu.provers.groth16 import setup as g16_setup
-    from lambda_elliptic_curves_tpu.provers.groth16 import prover as g16_prover
     from lambda_elliptic_curves_tpu.provers.groth16 import (
-        verifier as g16_verifier,
+        prove as g16_prove, setup as g16_setup_fn, verify as g16_verify,
     )
 
     # multiplication-chain circuit: w_{i+1} = w_i * w_1, n constraints
@@ -295,19 +315,49 @@ def bench_groth16():
         a_rows.append(a)
         b_rows.append(b)
         c_rows.append(c)
-    r1cs = R1CS.from_matrices(a_rows, b_rows, c_rows, number_of_inputs=1)
+    r1cs = R1CS.from_matrices(a_rows, b_rows, c_rows, number_of_inputs=2)
     qap = QuadraticArithmeticProgram.from_r1cs(fr, r1cs)
     x = 3
     witness = [1] + [pow(x, i + 1, r) for i in range(nvars - 1)]
-    pk, vk = g16_setup.setup(qap, rng=_random.Random(42))
+    pk, vk = g16_setup_fn(qap, rng=_random.Random(42))
 
     t0 = time.perf_counter()
-    proof = g16_prover.prove(witness, qap, pk, rng=_random.Random(7))
+    proof = g16_prove(witness, qap, pk, rng=_random.Random(7))
     ms = (time.perf_counter() - t0) * 1000.0
-    ok = g16_verifier.verify(vk, proof, witness[1:2])
+    ok = g16_verify(vk, proof, witness[:2])
     return {
         "metric": f"groth16_prove_{n_constraints}c",
         "value": round(ms, 1),
+        "unit": "ms",
+        "vs_baseline": None,
+        "check": "ok" if ok else "FAIL",
+    }
+
+
+# ---------------------------------------------------------------------------
+# extra — BLS12-381 pairing latency (VERDICT r1: fast-pairing evidence)
+# ---------------------------------------------------------------------------
+
+def bench_pairing():
+    from lambda_elliptic_curves_tpu.curves.pairings import (
+        BLS12381Pairing as cfg, pairing,
+    )
+
+    P = cfg.g1_curve.generator()
+    Q = cfg.g2_generator()
+    # warmup + correctness oracle: bilinearity e(3P, 5Q) == e(P, Q)^15
+    e1 = pairing(cfg, P, Q)
+    ok = pairing(cfg, P.operate_with_self(3), Q.mul(5)) == e1 ** 15
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pairing(cfg, P, Q)
+        times.append(time.perf_counter() - t0)
+    ms = sorted(times)[1] * 1000.0
+    return {
+        "metric": "bls12_381_pairing",
+        "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": None,
         "check": "ok" if ok else "FAIL",
@@ -324,12 +374,13 @@ def main():
     enable_compilation_cache()
 
     wanted = os.environ.get("BENCH_CONFIGS",
-                            "small,msm,stark,groth16,ntt").split(",")
+                            "small,msm,stark,groth16,pairing,ntt").split(",")
     configs = {
         "small": bench_small_field,
         "msm": bench_msm,
         "stark": bench_stark,
         "groth16": bench_groth16,
+        "pairing": bench_pairing,
         "ntt": bench_ntt,   # headline last: the driver parses the last line
     }
     results = []

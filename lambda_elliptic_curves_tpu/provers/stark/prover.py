@@ -43,17 +43,35 @@ from .proof import (
 
 
 _INSTRUMENT = bool(os.environ.get("LWT_INSTRUMENT"))
+_TIMINGS_JSON = os.environ.get("LWT_TIMINGS_JSON")  # file to append to
+last_timings: dict = {}  # phase -> seconds, refreshed per prove() call
 
 
 def _mark(label: str, t0: float) -> float:
-    """Per-round wall-time prints (parity with the reference's
-    ``instruments`` feature, ``provers/stark/src/prover.rs:885-897``),
-    enabled with LWT_INSTRUMENT=1."""
+    """Per-round wall-time instrumentation (parity with the reference's
+    ``instruments`` feature, ``provers/stark/src/prover.rs:885-897``).
+
+    Timings are always recorded in :data:`last_timings` (machine-readable,
+    for regression tracking between rounds); ``LWT_INSTRUMENT=1`` adds
+    human prints and ``LWT_TIMINGS_JSON=<path>`` appends one JSON object
+    per prove call."""
+    now = time.perf_counter()
+    last_timings[label] = round(now - t0, 6)
     if _INSTRUMENT:
-        now = time.perf_counter()
         print(f"[prover] {label}: {now - t0:.3f}s", flush=True)
-        return now
-    return t0
+    return now
+
+
+def _flush_timings(meta: dict) -> None:
+    if not _TIMINGS_JSON:
+        return
+    try:
+        import json
+
+        with open(_TIMINGS_JSON, "a") as fh:
+            fh.write(json.dumps({**meta, **last_timings}) + "\n")
+    except OSError:
+        pass
 
 
 def _powers_host(field, base: FieldElement, count: int):
@@ -79,6 +97,7 @@ class Prover:
 
     # ------------------------------------------------------------------
     def prove(self, trace, pub_inputs, proof_options, transcript) -> StarkProof:
+        last_timings.clear()
         air = self.air_class(trace.num_rows // 1, pub_inputs, proof_options)
         f = air.field
         ext = ChallengeBundle(f, getattr(air, "extension_degree", 1))
@@ -224,6 +243,8 @@ class Prover:
         )
 
         _t = _mark('round4 open deep', _t)
+        _flush_timings({"air": type(air).__name__, "trace_length": n,
+                        "lde_size": N})
         return StarkProof(
             trace_length=n,
             lde_trace_main_merkle_root=main_tree.root,
