@@ -48,7 +48,9 @@ class DeviceCtx:
     def constant(self, value):
         if hasattr(value, "value"):
             value = value.value
-        return self.field.constant(int(value), (self.domain_size,))
+        if not isinstance(value, tuple):
+            value = int(value)
+        return self.field.constant(value, (self.domain_size,))
 
     def one(self):
         return self.constant(1)
@@ -234,6 +236,38 @@ class AIR:
 
     # RAP (two-phase traces); default = no interaction
     has_trace_interaction = False
+
+    # the prover/verifier attach the active ChallengeBundle here before
+    # calling the RAP hooks, so challenge sampling and aux-trace building
+    # are extension-aware without changing the hook signatures
+    # (``traits.rs:88-97`` samples RAP challenges in FieldExtension)
+    challenge_bundle = None
+
+    def sample_challenge(self, transcript):
+        """One interaction challenge — in the challenge field E when an
+        extension is active, else in the trace field."""
+        if self.challenge_bundle is not None:
+            return self.challenge_bundle.sample(transcript)
+        return transcript.sample_field_element()
+
+    def challenge_host_field(self):
+        """Host constructor for challenge-field values (E or base)."""
+        if self.challenge_bundle is not None:
+            return self.challenge_bundle.host
+        return self.field
+
+    def aux_array(self, columns):
+        """Host challenge-field values (list of columns of
+        ints/tuples/FieldElements) -> device aux-trace array in the
+        active challenge field's layout."""
+        if self.challenge_bundle is not None \
+                and self.challenge_bundle.degree > 1:
+            fd = self.challenge_bundle.fd
+            return fd.array([v for col in columns for v in col]).reshape(
+                (fd.num_digits, len(columns), len(columns[0])))
+        return self.field.array(
+            [[v.value if hasattr(v, "value") else int(v) for v in col]
+             for col in columns])
 
     def build_rap_challenges(self, transcript) -> list:
         return []

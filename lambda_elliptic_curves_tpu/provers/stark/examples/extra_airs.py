@@ -262,33 +262,29 @@ class ReadOnlyRAP(AIR):
         return self._constraints
 
     def build_rap_challenges(self, transcript):
-        return [transcript.sample_field_element(),
-                transcript.sample_field_element()]
+        return [self.sample_challenge(transcript),
+                self.sample_challenge(transcript)]
 
     def build_auxiliary_trace(self, trace, rap_challenges):
-        f = self.field
-        p = f.p
-        z = int(rap_challenges[0])
-        alpha = int(rap_challenges[1])
+        E = self.challenge_host_field()
+        z, alpha = rap_challenges[0], rap_challenges[1]
         a, v, sa, sv = trace.to_host_columns()[:4]
         col = []
-        acc = 1
+        acc = E(1)
         for i in range(trace.num_rows):
-            num = (z - (a[i] + alpha * v[i])) % p
-            den = (z - (sa[i] + alpha * sv[i])) % p
-            acc = acc * num * pow(den, -1, p) % p
+            num = z - (E(a[i]) + alpha * E(v[i]))
+            den = z - (E(sa[i]) + alpha * E(sv[i]))
+            acc = acc * num / den
             col.append(acc)
-        return f.array([col])
+        return self.aux_array([col])
 
     def boundary_constraints(self, rap_challenges):
-        f = self.field
-        p = f.p
+        E = self.challenge_host_field()
         pi = self.pub_inputs
-        z = int(rap_challenges[0])
-        alpha = int(rap_challenges[1])
-        num = (z - (pi.a0 + alpha * pi.v0)) % p
-        den = (z - (pi.a_sorted0 + alpha * pi.v_sorted0)) % p
-        p0 = num * pow(den, -1, p) % p
+        z, alpha = rap_challenges[0], rap_challenges[1]
+        num = z - (E(pi.a0) + alpha * E(pi.v0))
+        den = z - (E(pi.a_sorted0) + alpha * E(pi.v_sorted0))
+        p0 = (num / den).value
         return [
             BoundaryConstraint(col=0, step=0, value=pi.a0),
             BoundaryConstraint(col=1, step=0, value=pi.v0),

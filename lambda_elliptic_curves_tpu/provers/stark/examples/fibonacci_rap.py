@@ -74,19 +74,21 @@ class FibonacciRAP(AIR):
         return self._constraints
 
     def build_rap_challenges(self, transcript):
-        return [transcript.sample_field_element()]
+        # sampled in the challenge field E when an extension is active
+        # (``traits.rs:97`` takes the FieldExtension transcript)
+        return [self.sample_challenge(transcript)]
 
     def build_auxiliary_trace(self, trace, rap_challenges):
-        f = self.field
-        gamma = rap_challenges[0].value
+        E = self.challenge_host_field()
+        gamma = rap_challenges[0]
         cols = trace.to_host_columns()
         not_perm, perm = cols[0], cols[1]
-        z = [1]
+        z = [E(1)]
         for i in range(1, trace.num_rows):
-            num = (not_perm[i - 1] + gamma) % f.p
-            den = (perm[i - 1] + gamma) % f.p
-            z.append(z[-1] * num * pow(den, -1, f.p) % f.p)
-        return f.array([z])
+            num = E(not_perm[i - 1]) + gamma
+            den = E(perm[i - 1]) + gamma
+            z.append(z[-1] * num / den)
+        return self.aux_array([z])
 
     def boundary_constraints(self, rap_challenges):
         return [

@@ -140,6 +140,13 @@ class ChallengeBundle:
             for c in comps], axis=0)
 
     # -- embedding ----------------------------------------------------------
+    def lift(self, arr):
+        """Embed a base-field array into E unless it already is E-shaped
+        (axis 0 = D*K digits)."""
+        if arr.shape[0] == self.fd.num_digits:
+            return arr
+        return self.embed(arr)
+
     def embed(self, arr):
         """Base-field digit array (K, *b) -> challenge-field (D*K, *b)."""
         if self.degree == 1:

@@ -101,10 +101,11 @@ class Prover:
         air = self.air_class(trace.num_rows // 1, pub_inputs, proof_options)
         f = air.field
         ext = ChallengeBundle(f, getattr(air, "extension_degree", 1))
-        if ext.degree > 1 and air.has_trace_interaction:
-            raise ProvingError(
-                "extension-field challenges with RAP aux traces are not "
-                "supported yet")
+        air.challenge_bundle = ext if ext.degree > 1 else None
+        # uniform-E mode: with extension challenges AND a RAP aux trace the
+        # aux columns live in E (``traits.rs:88``), so the whole LDE /
+        # constraint pipeline runs over challenge-field arrays
+        ext_lde = ext.degree > 1 and air.has_trace_interaction
         domain = Domain(air)
         backend = KeccakBatchBackend(f)
         blowup = domain.blowup_factor
@@ -127,16 +128,30 @@ class Prover:
         if air.has_trace_interaction:
             rap_challenges = air.build_rap_challenges(transcript)
             aux = air.build_auxiliary_trace(trace, rap_challenges)
-            aux_polys = ntt.interpolate_fft(f, aux)
-            aux_lde = ntt.evaluate_offset_fft(f, aux_polys, blowup, n,
-                                              domain.coset_offset)
-            aux_tree = MerkleTree.build(backend,
-                                        ntt.bit_reverse_permute(aux_lde))
+            if ext_lde:
+                # aux columns are E-valued: componentwise NTTs, leaves
+                # committed component-major over base columns
+                aux_polys = ext.interpolate_fft(aux)
+                aux_lde = ext.evaluate_offset_fft(aux_polys, blowup, n,
+                                                  domain.coset_offset)
+                aux_tree = MerkleTree.build(
+                    backend,
+                    ext.as_base_columns(ntt.bit_reverse_permute(aux_lde)))
+            else:
+                aux_polys = ntt.interpolate_fft(f, aux)
+                aux_lde = ntt.evaluate_offset_fft(f, aux_polys, blowup, n,
+                                                  domain.coset_offset)
+                aux_tree = MerkleTree.build(backend,
+                                            ntt.bit_reverse_permute(aux_lde))
             transcript.append_bytes(aux_tree.root)
-            lde_all = jnp.concatenate([lde, aux_lde], axis=1)
-            tpolys_all = jnp.concatenate([tpolys, aux_polys], axis=1)
+            if ext_lde:
+                lde_all = jnp.concatenate([ext.embed(lde), aux_lde], axis=1)
+            else:
+                lde_all = jnp.concatenate([lde, aux_lde], axis=1)
+                tpolys_all = jnp.concatenate([tpolys, aux_polys], axis=1)
         else:
             lde_all = lde
+        if not air.has_trace_interaction or ext_lde:
             tpolys_all = tpolys
 
         # ======================= challenges: beta ======================
@@ -183,13 +198,16 @@ class Prover:
         g = ext.host(domain.trace_primitive_root)
         offsets = air.transition_offsets
         num_cols = lde_all.shape[1]
+
+        def _ood_col(j, point):
+            if ext_lde and j >= air.trace_columns:
+                return ext.evaluate_ext_coeffs_at(
+                    aux_polys[:, j - air.trace_columns], point)
+            return ext.evaluate_coeffs_at(tpolys_all[:, j], point)
+
         # trace OOD: [offset_idx][col] = t_col(z * g^offset), values in E
         trace_ood = [
-            [
-                ext.host_value(ext.evaluate_coeffs_at(tpolys_all[:, j],
-                                                      z * g**off))
-                for j in range(num_cols)
-            ]
+            [ext.host_value(_ood_col(j, z * g**off)) for j in range(num_cols)]
             for off in offsets
         ]
         # transcript order matches the reference: column-major
@@ -240,6 +258,7 @@ class Prover:
             f, backend, main_tree, aux_tree, comp_tree, lde_br,
             ntt.bit_reverse_permute(aux_lde) if aux_lde is not None else None,
             comp_leaves, iotas, ext.degree * nparts,
+            ext if ext_lde else None,
         )
 
         _t = _mark('round4 open deep', _t)
@@ -274,8 +293,12 @@ class Prover:
         blowup = domain.blowup_factor
         g_int = domain.trace_primitive_root
         lde_points = domain.lde_points()  # (K, N)
+        # uniform-E mode (extension challenges + RAP): the LDE array is
+        # already challenge-field shaped; all terms run as E kernels
+        ext_lde = lde_all.shape[0] != f.num_digits
+        fd = ext.fd
 
-        acc = ext.fd.zeros((N,))
+        acc = fd.zeros((N,))
 
         # ---- boundary terms: sum beta' * (t_col - v) / (x - g^step)
         for bc, beta_c in zip(boundary, boundary_coeffs):
@@ -283,9 +306,17 @@ class Prover:
             denom = f.sub(lde_points, f.constant(point, (N,)))
             inv = f.batch_inverse(denom)
             col = lde_all[:, bc.col + (air.trace_columns if bc.is_aux else 0)]
-            value = bc.value.value if hasattr(bc.value, "value") else int(bc.value)
-            num = f.sub(col, f.constant(value, (N,)))
-            acc = ext.fd.add(acc, ext.scale_base(f.mul(num, inv), beta_c))
+            value = bc.value.value if hasattr(bc.value, "value") else bc.value
+            if not isinstance(value, tuple):
+                value = int(value)
+            if ext_lde:
+                num = fd.sub(col, fd.constant(value, (N,)))
+                term = fd.mul(fd.mul(num, ext.embed(inv)),
+                              fd.constant(ext.value_of(beta_c), (N,)))
+                acc = fd.add(acc, term)
+            else:
+                num = f.sub(col, f.constant(value, (N,)))
+                acc = fd.add(acc, ext.scale_base(f.mul(num, inv), beta_c))
 
         # ---- periodic columns on the LDE
         periodic_lde = []
@@ -293,20 +324,24 @@ class Prover:
             vals = [int(v) for v in values]
             cycled = (vals * (n // len(vals) + 1))[:n]
             pcoeffs = ntt.interpolate_fft(f, f.array(cycled))
-            periodic_lde.append(
-                ntt.evaluate_offset_fft(f, pcoeffs, blowup, n,
-                                        domain.coset_offset)
-            )
+            p_lde = ntt.evaluate_offset_fft(f, pcoeffs, blowup, n,
+                                            domain.coset_offset)
+            periodic_lde.append(ext.embed(p_lde) if ext_lde else p_lde)
 
         # ---- transition terms
         frame = device_frame(lde_all, air.transition_offsets, blowup,
                              air.step_size)
-        ctx = DeviceCtx(f, N)
+        ctx = DeviceCtx(fd if ext_lde else f, N)
         evaluations = air.compute_transition(ctx, frame, periodic_lde,
                                              rap_challenges)
         zinv = self._zerofier_inverse_evals(air, domain)
         for ev, zv, beta_c in zip(evaluations, zinv, transition_coeffs):
-            acc = ext.fd.add(acc, ext.scale_base(f.mul(ev, zv), beta_c))
+            if ext_lde:
+                term = fd.mul(fd.mul(ev, ext.embed(zv)),
+                              fd.constant(ext.value_of(beta_c), (N,)))
+                acc = fd.add(acc, term)
+            else:
+                acc = fd.add(acc, ext.scale_base(f.mul(ev, zv), beta_c))
         return acc
 
     def _zerofier_inverse_evals(self, air, domain):
@@ -391,7 +426,7 @@ class Prover:
                 inv = fd.batch_inverse(
                     fd.sub(lde_points, fd.constant(zp, (N,)))
                 )
-                num = fd.sub(ext.embed(lde_all[:, j]),
+                num = fd.sub(ext.lift(lde_all[:, j]),
                              fd.constant(trace_ood[k][j], (N,)))
                 acc = fd.add(acc, fd.mul(
                     fd.mul(num, inv),
@@ -461,10 +496,19 @@ class Prover:
 
     # ------------------------------------------------------------------
     def _open_deep(self, f, backend, main_tree, aux_tree, comp_tree, lde_br,
-                   aux_lde_br, comp_leaves, iotas, nparts):
+                   aux_lde_br, comp_leaves, iotas, nparts, aux_ext=None):
         """Open trace rows and composition leaves at each iota pair
-        (``prover.rs:752-860``)."""
+        (``prover.rs:752-860``).  With ``aux_ext`` the aux trace is
+        E-valued and its leaf openings carry the component-major base
+        values that were committed."""
         openings = []
+
+        def _aux_row(pos):
+            if aux_ext is None:
+                return [int(v) for v in f.to_ints(aux_lde_br[..., pos])]
+            cols = aux_lde_br[..., pos]  # (D*K, Ca)
+            return aux_ext.leaf_base_values(aux_ext.fd.to_tuples(cols))
+
         for iota in iotas:
             idx, idx_sym = 2 * iota, 2 * iota + 1
             main_open = PolynomialOpenings(
@@ -480,10 +524,8 @@ class Prover:
                 aux_open = PolynomialOpenings(
                     proof=aux_tree.get_proof_by_pos(idx),
                     proof_sym=aux_tree.get_proof_by_pos(idx_sym),
-                    evaluations=[int(v) for v in
-                                 f.to_ints(aux_lde_br[..., idx])],
-                    evaluations_sym=[int(v) for v in
-                                     f.to_ints(aux_lde_br[..., idx_sym])],
+                    evaluations=_aux_row(idx),
+                    evaluations_sym=_aux_row(idx_sym),
                 )
             leaf_vals = [int(v) for v in f.to_ints(comp_leaves[..., iota])]
             comp_open = PolynomialOpenings(

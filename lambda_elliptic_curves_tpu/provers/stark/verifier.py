@@ -25,8 +25,7 @@ class Verifier:
                transcript) -> bool:
         air = self.air_class(proof.trace_length, pub_inputs, proof_options)
         ext = ChallengeBundle(air.field, getattr(air, "extension_degree", 1))
-        if ext.degree > 1 and air.has_trace_interaction:
-            return False
+        air.challenge_bundle = ext if ext.degree > 1 else None
         domain = Domain(air)
         challenges = self._step_1_replay_rounds(air, ext, domain, proof,
                                                 transcript)
@@ -208,8 +207,16 @@ class Verifier:
                                             proof.lde_trace_aux_merkle_root,
                                             idx_sym, aux.evaluations_sym):
                     return False
-                row = row + aux.evaluations
-                row_sym = row_sym + aux.evaluations_sym
+                if ext.degree > 1:
+                    # E-valued aux leaves: component-major base values ->
+                    # one E element per aux column
+                    n_aux = len(aux.evaluations) // ext.degree
+                    row = row + ext.unflatten_leaf(aux.evaluations, n_aux)
+                    row_sym = row_sym + ext.unflatten_leaf(
+                        aux.evaluations_sym, n_aux)
+                else:
+                    row = row + aux.evaluations
+                    row_sym = row_sym + aux.evaluations_sym
             if not main.proof.verify(backend, proof.lde_trace_main_merkle_root,
                                      idx, main.evaluations):
                 return False

@@ -156,3 +156,32 @@ def _nest(flat, degree):
         return flat[0]
     half = degree // 2
     return (_nest(flat[:half], half), _nest(flat[half:], half))
+
+
+def test_rap_with_extension_challenges():
+    """RAP aux trace with Fp2 challenges: aux column lives in E
+    (``traits.rs:88`` — build_auxiliary_trace over FieldExtension)."""
+    from lambda_elliptic_curves_tpu.provers.stark.examples.fibonacci_rap import (
+        FibonacciRAP, FibonacciRAPPublicInputs, fibonacci_rap_trace,
+    )
+
+    field = Goldilocks
+
+    class FibRapExt(FibonacciRAP):
+        extension_degree = 2
+
+        def __init__(self, trace_length, pub_inputs, proof_options):
+            super().__init__(trace_length, pub_inputs, proof_options,
+                             field=field)
+
+    trace = fibonacci_rap_trace(field, [1, 1], 16)
+    pub = FibonacciRAPPublicInputs(steps=16)
+    options = ProofOptions.default_test_options()
+    proof = prove(FibRapExt, trace, pub, options, DefaultTranscript(field))
+    assert isinstance(proof.trace_ood_evaluations[0][0], tuple)
+    assert verify(FibRapExt, proof, pub, options, DefaultTranscript(field))
+    # tampering with the aux commitment is caught
+    proof.lde_trace_aux_merkle_root = bytes(
+        b ^ 1 for b in proof.lde_trace_aux_merkle_root)
+    assert not verify(FibRapExt, proof, pub, options,
+                      DefaultTranscript(field))
