@@ -51,7 +51,7 @@ def bench_ntt():
     returns the faster one as the headline row (the other is emitted as a
     secondary metric)."""
     from lambda_elliptic_curves_tpu.fields import Stark252 as f
-    from lambda_elliptic_curves_tpu.poly import ntt, ntt_mxu
+    from lambda_elliptic_curves_tpu.poly import ntt, ntt_mxu, ntt_pallas
     from lambda_elliptic_curves_tpu.poly.polynomial import field_sum
 
     log_n = int(os.environ.get("BENCH_LOG_N", "22"))
@@ -77,6 +77,7 @@ def bench_ntt():
     impls = {
         "pease": jax.jit(lambda evals: ntt.ifft(evals, f)),
         "mxu": jax.jit(lambda evals: ntt_mxu.ifft(evals, f)),
+        "pallas": jax.jit(lambda evals: ntt_pallas.ifft(evals, f)),
     }
     for name, fn in impls.items():
         try:

@@ -60,8 +60,12 @@ import jax.numpy as jnp
 
 from ..fields.params import FieldParams
 
-U32 = jnp.uint32
-ONE = jnp.uint32(1)
+# numpy scalars, NOT jnp: np.uint32 operands inline as literals in traced
+# code, while module-level jnp scalars become captured device constants —
+# which Pallas kernel tracing rejects ("captures constants ... pass them
+# as inputs").  Semantics with jax uint32 arrays are identical.
+U32 = np.uint32
+ONE = np.uint32(1)
 _U32_MAX = (1 << 32) - 1
 
 

@@ -203,7 +203,8 @@ def _twiddle_matrix(field: PrimeField, root_int: int, n2: int, n1: int):
     return out
 
 
-def fft_with_root(x, field: PrimeField, root_int: int, canonical: bool = True):
+def fft_with_root(x, field: PrimeField, root_int: int, canonical: bool = True,
+                  local_fn=None):
     """Natural-order transform along the last axis with an explicit
     primitive root (any power-of-two length, any batch dims).
 
@@ -211,16 +212,19 @@ def fft_with_root(x, field: PrimeField, root_int: int, canonical: bool = True):
     X[k2*N1 + k1] = sum_j2 w_N2^(j2 k2) [w^(j2 k1) sum_j1 w_N1^(j1 k1) x[j1*N2+j2]]
     (the single-chip analogue of the sharded NTT's all-to-all,
     ``parallel/ntt_sharded.py``); local transforms use the constant-geometry
-    network of :func:`_fft_pease`.
+    network of :func:`_fft_pease` by default, or ``local_fn`` when given
+    (same signature/contract as ``_fft_pease`` — the hook the Pallas
+    VMEM-resident kernel plugs into, :mod:`.ntt_pallas`).
 
     With ``canonical=False`` the result may be a lazy representative:
     returns ``(y, value_bound)`` and skips the final reduction passes
     (used by :func:`ifft`, whose n^-1 scaling multiply canonicalises for
     free).
     """
+    local = local_fn or _fft_pease
     n = x.shape[-1]
     if n <= _FOUR_STEP_MIN:
-        return _fft_pease(x, field, root_int, canonical)
+        return local(x, field, root_int, canonical)
 
     log_n = n.bit_length() - 1
     log_n1 = (log_n + 1) // 2
@@ -234,13 +238,14 @@ def fft_with_root(x, field: PrimeField, root_int: int, canonical: bool = True):
     # the cross-twiddle multiply is a strict Montgomery product, which
     # canonicalises lazy local-transform output for free
     a, _ = fft_with_root(xt, field, pow(root_int, n2, field.p),
-                         canonical=False)  # A[j2, k1], lazy
+                         canonical=False, local_fn=local_fn)  # A[j2,k1], lazy
     t = _twiddle_matrix(field, root_int, n2, n1)
     t = t.reshape((K,) + (1,) * len(batch) + (n2, n1))
     b = field.mul(a, t)
     bt = jnp.swapaxes(b, -1, -2)  # (..., k1, j2)
     c, c_bound = fft_with_root(bt, field, pow(root_int, n1, field.p),
-                               canonical=False)  # C[k1, k2], lazy
+                               canonical=False,
+                               local_fn=local_fn)  # C[k1, k2], lazy
     out = jnp.swapaxes(c, -1, -2)  # (..., k2, k1): flatten = k2*N1 + k1
     out = out.reshape((K,) + batch + (n,))
     if canonical:
