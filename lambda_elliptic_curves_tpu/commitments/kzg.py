@@ -17,6 +17,7 @@ import dataclasses
 
 from ..curves.msm import msm as _msm
 from ..curves.pairings import AffinePoint, PairingConfig, compute_batch
+from ..curves.weierstrass import ProjectivePoint
 from ..poly.polynomial import Polynomial
 
 
@@ -92,15 +93,108 @@ class StructuredReferenceString:
             raise DeserializationError(str(exc)) from exc
         return cls(main, sec)
 
-    def to_file(self, path: str) -> None:
-        with open(path, "wb") as fh:
-            fh.write(self.serialize())
+    # -- reference binary format -------------------------------------------
+    # Byte-exact lambdaworks SRS layout (``kzg.rs`` AsBytes/Deserializable):
+    #   [4B protocol version = 0][8B LE G1 count]
+    #   [G1 points: x||y||z, canonical coordinates, little-endian]
+    #   [2 G2 points: x||y||z with each Fp2 coordinate as c0||c1,
+    #    field_extension.rs:164]
+    # Points may carry any projective representative; z == 0 encodes the
+    # neutral element [0, 1, 0] (``short_weierstrass/point.rs:374``).
+
+    def serialize_reference(self) -> bytes:
+        pts = self.powers_main_group
+        nb = pts[0].curve.field.params.num_bytes
+        out = bytearray(b"\x00" * 4)
+        out += len(pts).to_bytes(8, "little")
+        for pt in pts:
+            # stored projective representative, so parse -> re-serialize
+            # round-trips the reference's own files byte-for-byte
+            for c in (pt.x, pt.y, pt.z):
+                out += int(c).to_bytes(nb, "little")
+        for q in self.powers_secondary_group[:2]:
+            if getattr(q, "inf", False):
+                coords = ((0, 0), (1, 0), (0, 0))
+            else:
+                def _c(v):
+                    v = v.value if hasattr(v, "value") else v
+                    return v if isinstance(v, tuple) else (int(v), 0)
+
+                coords = (_c(q.x), _c(q.y), (1, 0))
+            for c0, c1 in coords:
+                out += int(c0).to_bytes(nb, "little")
+                out += int(c1).to_bytes(nb, "little")
+        return bytes(out)
 
     @classmethod
-    def from_file(cls, cfg: PairingConfig, path: str):
-        """Load an SRS from a binary file (``kzg.rs:40`` parity)."""
+    def deserialize_reference(cls, cfg: PairingConfig, data: bytes):
+        from ..utils.errors import DeserializationError
+
+        curve = cfg.g1_curve
+        p = curve.field.p
+        nb = curve.field.params.num_bytes
+        g1_size, g2_size = 3 * nb, 6 * nb
+        try:
+            if data[:4] != b"\x00" * 4:
+                raise ValueError("unsupported protocol version")
+            count = int.from_bytes(data[4:12], "little")
+            if len(data) != 12 + count * g1_size + 2 * g2_size:
+                raise ValueError("byte length does not match G1 count")
+            off = 12
+            main = []
+            for _ in range(count):
+                x = int.from_bytes(data[off:off + nb], "little")
+                y = int.from_bytes(data[off + nb:off + 2 * nb], "little")
+                z = int.from_bytes(data[off + 2 * nb:off + 3 * nb], "little")
+                off += g1_size
+                pt = ProjectivePoint(curve, x, y, z)
+                if z == 0:
+                    if not (x == 0 and y != 0):
+                        raise ValueError("invalid point at infinity")
+                    pt = curve.neutral()
+                else:
+                    zinv = pow(z, -1, p)
+                    if curve.defining_equation(x * zinv % p,
+                                               y * zinv % p) != 0:
+                        raise ValueError("G1 point not on curve")
+                main.append(pt)
+            sec = []
+            for _ in range(2):
+                comps = []
+                for _ in range(3):
+                    c0 = int.from_bytes(data[off:off + nb], "little")
+                    c1 = int.from_bytes(data[off + nb:off + 2 * nb],
+                                        "little")
+                    off += 2 * nb
+                    comps.append((c0, c1))
+                x2, y2, z2 = (cfg.fp2(c) for c in comps)
+                if z2.is_zero():
+                    sec.append(AffinePoint.infinity(cfg.fp2))
+                    continue
+                xa, ya = x2 / z2, y2 / z2
+                if ya * ya != xa * xa * xa + cfg.fp2(cfg.twist_b):
+                    raise ValueError("G2 point not on twist")
+                sec.append(AffinePoint(cfg.fp2, xa, ya))
+        except (IndexError, ValueError) as exc:
+            raise DeserializationError(str(exc)) from exc
+        return cls(main, sec)
+
+    def to_file(self, path: str, format: str = "native") -> None:
+        data = (self.serialize_reference() if format == "reference"
+                else self.serialize())
+        with open(path, "wb") as fh:
+            fh.write(data)
+
+    @classmethod
+    def from_file(cls, cfg: PairingConfig, path: str,
+                  format: str = "native"):
+        """Load an SRS from a binary file (``kzg.rs:40`` parity);
+        ``format="reference"`` reads lambdaworks' own SRS files."""
         with open(path, "rb") as fh:
-            return cls.deserialize(cfg, fh.read())
+            data = fh.read()
+        if format == "reference":
+            return cls.deserialize_reference(cfg, data)
+        return cls.deserialize(cfg, data)
 
 
 class KateZaveruchaGoldberg:
