@@ -77,8 +77,15 @@ def sharded_ntt(field: PrimeField, coeffs, mesh: Mesh, axis_name: str = "x",
     if inverse:
         w = pow(w, field.p - 2, field.p)
 
+    def exchange(b):
+        return jax.lax.all_to_all(b, axis_name, split_axis=1, concat_axis=2,
+                                  tiled=True)  # (K, N1/D, N2)
+
+    def dev_index():
+        return jax.lax.axis_index(axis_name)
+
     local = functools.partial(_local_four_step, field, N1, N2, w,
-                              axis_name, D)
+                              dev_index, exchange)
     mat = coeffs.reshape(K, N1, N2)
 
     out = jax.jit(
@@ -99,8 +106,11 @@ def sharded_ntt(field: PrimeField, coeffs, mesh: Mesh, axis_name: str = "x",
     return out
 
 
-def _local_four_step(field, N1, N2, w, axis_name, D, block):
-    """Per-device body: block is (K, N1, N2/D)."""
+def _local_four_step(field, N1, N2, w, dev_index, exchange, block):
+    """Per-device body: block is (K, N1, N2/D).  ``dev_index`` returns the
+    device's flat position on the sharded j2 axis; ``exchange`` is the
+    transpose collective (one flat all_to_all, or the factored ICI+DCN
+    pair of :func:`sharded_ntt_2d`)."""
     K = block.shape[0]
     n2_loc = block.shape[-1]
     # step 1: length-N1 NTTs along axis 1 (batch = local j2 columns),
@@ -110,7 +120,7 @@ def _local_four_step(field, N1, N2, w, axis_name, D, block):
     a = jnp.moveaxis(cols, 2, 1)  # (K, N1, n2_loc), A[k1, j2]
 
     # step 2: twiddles w^(k1 * j2_global)
-    me = jax.lax.axis_index(axis_name)
+    me = dev_index()
     dev_off = me.astype(jnp.uint32) * jnp.uint32(n2_loc)
     base = _pow_traced_exponent(field, w, dev_off, (N1 * N2).bit_length())
     # w^(k1 * j2) = (w^(k1))^(j2); build local matrix by doubling over j2:
@@ -122,13 +132,77 @@ def _local_four_step(field, N1, N2, w, axis_name, D, block):
     t = field.mul(t, base_k1[..., None])
     b = field.mul(a, t)
 
-    # step 3: all-to-all — shard k1, gather full rows j2
-    b = jax.lax.all_to_all(b, axis_name, split_axis=1, concat_axis=2,
-                           tiled=True)  # (K, N1/D, N2)
+    # step 3: transpose — shard k1, gather full rows j2
+    b = exchange(b)  # (K, N1/D, N2)
 
     # step 4: length-N2 NTTs along the last axis
     c = _fft_with_root(field, b, pow(w, N1, field.p))
     return c  # (K, N1/D, N2) = C[k1, k2]
+
+
+def sharded_ntt_2d(field: PrimeField, coeffs, mesh: Mesh,
+                   axis_names: tuple = ("dcn", "ici"),
+                   ordering: str = "transposed", inverse: bool = False):
+    """Multi-host NTT over a 2-D ``(dcn, ici)`` mesh with DCN-aware
+    blocking (SURVEY §2.5 / §5 "multi-host" axis; the reference has no
+    distributed backend to cite).
+
+    The four-step's single transpose is factored into TWO tiled
+    ``all_to_all`` exchanges: first over the fast intra-host ``ici`` axis
+    (fine-grained interleaving), then over the slow cross-host ``dcn``
+    axis — which therefore moves each element exactly once, in H-1 large
+    contiguous messages per device, instead of riding D-1 small ones
+    through the flat transpose.  Index bookkeeping: after the factored
+    exchange, device (h, c) owns k1 block ``c*H + h``, i.e. the k1 axis
+    comes out sharded **ici-major** — the out_specs declare exactly that,
+    so downstream consumers see an ordinary sharded array.
+    """
+    dcn, ici = axis_names
+    H, C = mesh.shape[dcn], mesh.shape[ici]
+    D = H * C
+    K, N = coeffs.shape[0], coeffs.shape[-1]
+    log_n = N.bit_length() - 1
+    log_n1 = max(log_n // 2, D.bit_length() - 1)
+    N1 = 1 << log_n1
+    N2 = N // N1
+    if N1 % D or N2 % D:
+        raise ValueError(f"N1={N1}, N2={N2} must be divisible by D={D}")
+
+    w = field.params.primitive_root_of_unity(log_n)
+    if inverse:
+        w = pow(w, field.p - 2, field.p)
+
+    def exchange(b):
+        # factored transpose: ICI leg (intra-host), then DCN leg
+        b = jax.lax.all_to_all(b, ici, split_axis=1, concat_axis=2,
+                               tiled=True)   # (K, N1/C, n2_loc*C)
+        return jax.lax.all_to_all(b, dcn, split_axis=1, concat_axis=2,
+                                  tiled=True)  # (K, N1/D, N2)
+
+    def dev_index():
+        me_h = jax.lax.axis_index(dcn)
+        me_c = jax.lax.axis_index(ici)
+        return me_h * C + me_c
+
+    local = functools.partial(_local_four_step, field, N1, N2, w,
+                              dev_index, exchange)
+    mat = coeffs.reshape(K, N1, N2)
+
+    out = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=P(None, None, axis_names),
+            out_specs=P(None, (ici, dcn), None),
+        )
+    )(mat)
+    if ordering == "natural":
+        out = out.transpose(0, 2, 1).reshape(K, N)
+    if inverse:
+        n_inv = field.constant(pow(N, field.p - 2, field.p), ())
+        out = field.mul(out, jnp.broadcast_to(
+            n_inv.reshape((K,) + (1,) * (out.ndim - 1)), out.shape))
+    return out
 
 
 def _powers_matrix(field, bases, count):

@@ -48,6 +48,46 @@ def test_sharded_ntt_inverse_roundtrip(mesh):
     assert [int(v) for v in back_ints] == coeffs
 
 
+@pytest.mark.parametrize("shape,ids", [((2, 4), ("dcn", "ici")),
+                                       ((4, 2), ("dcn", "ici"))],
+                         ids=["2hosts_4chips", "4hosts_2chips"])
+def test_sharded_ntt_2d_dcn_blocking(shape, ids):
+    """Hierarchical (DCN x ICI) mesh: the factored ICI+DCN transpose must
+    reproduce the flat single-axis result bit-for-bit."""
+    from lambda_elliptic_curves_tpu.parallel.ntt_sharded import sharded_ntt_2d
+
+    field = Stark252
+    devices = np.array(jax.devices()[:8]).reshape(shape)
+    mesh2d = Mesh(devices, ids)
+    rng = random.Random(21)
+    n = 256
+    coeffs = [rng.randrange(field.p) for _ in range(n)]
+    arr = field.array(coeffs)
+    expected = field.to_ints(ntt.fft(arr, field))
+    got = sharded_ntt_2d(field, arr, mesh2d, axis_names=ids,
+                         ordering="natural")
+    got_ints = field.to_ints(np.asarray(got).reshape(arr.shape[0], n))
+    assert [int(v) for v in got_ints] == [int(v) for v in expected]
+
+
+def test_sharded_ntt_2d_inverse_roundtrip():
+    from lambda_elliptic_curves_tpu.parallel.ntt_sharded import sharded_ntt_2d
+
+    field = BabyBear
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2d = Mesh(devices, ("dcn", "ici"))
+    rng = random.Random(23)
+    n = 64
+    coeffs = [rng.randrange(field.p) for _ in range(n)]
+    arr = field.array(coeffs)
+    evals = sharded_ntt_2d(field, arr, mesh2d, ordering="natural")
+    evals = evals.reshape(arr.shape[0], n)
+    back = sharded_ntt_2d(field, evals, mesh2d, ordering="natural",
+                          inverse=True)
+    back_ints = field.to_ints(np.asarray(back).reshape(arr.shape[0], n))
+    assert [int(v) for v in back_ints] == coeffs
+
+
 def test_sharded_msm_matches_host_oracle():
     """Point-sharded Pippenger over the 8-device mesh vs the exact host
     MSM, including the padding path (n not divisible by D)."""
