@@ -70,7 +70,11 @@ class _AdapterConstraint(TransitionConstraint):
              for c in range(self.foreign.trace_columns)]
             for o in range(self.num_offsets)
         ]
-        out = self.foreign.evaluate_transition(rows)
+        if getattr(self.foreign, "uses_periodic_values", False):
+            pv = [_CtxValue(ctx, v) for v in periodic_values]
+            out = self.foreign.evaluate_transition(rows, pv)
+        else:
+            out = self.foreign.evaluate_transition(rows)
         value = out[self.constraint_idx]
         return value.raw if isinstance(value, _CtxValue) else value
 
