@@ -139,3 +139,79 @@ def test_circom_groth16_end_to_end():
     assert verify(vk, proof, witness[:qap.num_of_public_inputs])
     # wrong public input rejected
     assert not verify(vk, proof, [1, 4])
+
+
+# ---------------------------------------------------------------------------
+# arkworks adapter -> Groth16 e2e (fixture mirrors an arkworks
+# ConstraintMatrices export of x^3 + x + 5 = out with x private;
+# parity: provers/groth16/arkworks-adapter/src/lib.rs:107)
+# ---------------------------------------------------------------------------
+
+def _arkworks_fixture():
+    from lambda_elliptic_curves_tpu.fields.zoo import BLS12381Fr
+    from lambda_elliptic_curves_tpu.provers.groth16.arkworks_adapter import (
+        arkworks_to_lambda,
+    )
+
+    raw = (FIXTURES / "arkworks_cubic.r1cs.json").read_text()
+    return arkworks_to_lambda(BLS12381Fr, raw)
+
+
+def test_arkworks_adapter_densifies_matrices():
+    r1cs, witness = _arkworks_fixture()
+    assert witness == [1, 35, 3, 9, 27]
+    assert r1cs.number_of_inputs == 2
+    assert r1cs.witness_size == 5
+    # third constraint carries the constant coefficient 5 on the one-wire
+    assert r1cs.a[2][0] == 5
+    # rows satisfy a.w * b.w == c.w
+    p = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
+    for g in range(r1cs.number_of_constraints):
+        a = sum(c * w for c, w in zip(r1cs.a[g], witness)) % p
+        b = sum(c * w for c, w in zip(r1cs.b[g], witness)) % p
+        c_ = sum(c * w for c, w in zip(r1cs.c[g], witness)) % p
+        assert a * b % p == c_
+
+
+def test_arkworks_groth16_end_to_end():
+    from lambda_elliptic_curves_tpu.fields.zoo import BLS12381Fr
+    from lambda_elliptic_curves_tpu.provers.groth16 import (
+        prove, setup, verify,
+    )
+    from lambda_elliptic_curves_tpu.provers.groth16.qap import (
+        QuadraticArithmeticProgram,
+    )
+
+    r1cs, witness = _arkworks_fixture()
+    qap = QuadraticArithmeticProgram.from_r1cs(BLS12381Fr, r1cs)
+    pk, vk = setup(qap, rng=random.Random(11))
+    proof = prove(witness, qap, pk, rng=random.Random(3))
+    assert verify(vk, proof, witness[:2])
+    # wrong claimed output rejected
+    assert not verify(vk, proof, [1, 36])
+
+
+def test_prove_verify_circom_tutorial():
+    """The circom e2e tutorial example runs its default fixture
+    (``examples/prove-verify-circom/src/main.rs`` parity)."""
+    from lambda_elliptic_curves_tpu.examples.prove_verify_circom import (
+        prove_and_verify,
+    )
+
+    r1cs = (FIXTURES / "circom_mul.r1cs.json").read_text()
+    wtns = (FIXTURES / "circom_mul.witness.json").read_text()
+    proof, vk, pub, ok = prove_and_verify(r1cs, wtns, seed=5)
+    assert ok
+    assert pub == [1, 15]
+
+
+def test_arkworks_adapter_rejects_bad_export():
+    from lambda_elliptic_curves_tpu.fields.zoo import BLS12381Fr
+    from lambda_elliptic_curves_tpu.provers.groth16.arkworks_adapter import (
+        arkworks_to_lambda,
+    )
+
+    bad = ('{"num_instance_variables": 2, "num_witness_variables": 1, '
+           '"a": [[["1", 9]]], "b": [[["1", 0]]], "c": [[["1", 1]]]}')
+    with pytest.raises(ValueError):
+        arkworks_to_lambda(BLS12381Fr, bad)
