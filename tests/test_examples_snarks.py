@@ -202,7 +202,9 @@ def test_prove_verify_circom_tutorial():
     wtns = (FIXTURES / "circom_mul.witness.json").read_text()
     proof, vk, pub, ok = prove_and_verify(r1cs, wtns, seed=5)
     assert ok
-    assert pub == [1, 15]
+    # lambda order is [1, inputs..., outputs...]; public = [1] + inputs
+    # (lib.rs:23 counts the one-wire plus nPubInputs)
+    assert pub == [1, 3]
 
 
 def test_arkworks_adapter_rejects_bad_export():
