@@ -20,6 +20,13 @@ import time
 
 import numpy as np
 import jax
+
+# BENCH_PLATFORM=cpu forces the CPU backend for harness smoke tests
+# (env vars alone are too late: the environment pre-imports jax with a
+# tunneled TPU backend registered)
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
 import jax.numpy as jnp
 
 
