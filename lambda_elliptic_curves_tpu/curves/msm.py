@@ -92,7 +92,9 @@ def msm_double_and_add(curve, scalar_digits, points_dev, ops=None):
         )
         bit = (digit >> jnp.uint32(b % DIGIT_BITS)) & jnp.uint32(1)
         acc = ops.double(acc)
-        added = ops.add(acc, points_dev)
+        # points_dev comes from from_host: affine-or-infinity, so the
+        # cheaper mixed add applies
+        added = ops.add_mixed(acc, points_dev)
         acc = ops.select(bit == 1, added, acc)
         return acc, None
 
@@ -144,6 +146,11 @@ def bucket_accumulate_chunked(ops, sorted_ids, pt, nbuckets: int, rows: int):
     init_acc = tuple(comp[..., 0] for comp in pt_v)  # (K, W, C)
     init = (init_acc, first_id, jnp.zeros((W, C), jnp.uint32))
 
+    # the inner loop adds one INPUT point per row; inputs are always
+    # affine-or-infinity (from_host or a neutral fill), so EC ops take the
+    # cheaper mixed-addition path (integer test ops fall back to add)
+    add_input = getattr(ops, "add_mixed", None) or ops.add
+
     def body(carry, t):
         acc, acc_id, seen = carry
         cur_id = jnp.take(ids_v, t, axis=-1)
@@ -152,7 +159,7 @@ def bucket_accumulate_chunked(ops, sorted_ids, pt, nbuckets: int, rows: int):
         flush_valid = ~same
         is_first = flush_valid & (seen == 0)
         flush_pt = ops.select(flush_valid, acc, ops.neutral((W, C)))
-        new_acc = ops.select(same, ops.add(acc, cur_pt), cur_pt)
+        new_acc = ops.select(same, add_input(acc, cur_pt), cur_pt)
         new_seen = seen | flush_valid.astype(jnp.uint32)
         ys = (flush_pt, acc_id, flush_valid, is_first)
         return (new_acc, cur_id, new_seen), ys

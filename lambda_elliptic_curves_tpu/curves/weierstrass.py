@@ -319,6 +319,44 @@ class JacobianOps:
         out = self.select(p2_inf, p1, out)
         return out
 
+    def add_mixed(self, p1, p2):
+        """Mixed batched addition: ``p2`` must be affine-or-infinity
+        (``Z2`` in {0, 1}, as produced by :meth:`from_host`).  Saves
+        4M + 1S per lane over :meth:`add` by skipping the Z2
+        normalisation (madd-2007-bl core; parity role: the reference's
+        ``operate_with_affine``, ``short_weierstrass/point.rs:91``).
+        Complete: identities, doubling and inverse pairs via selects."""
+        return self._shared("add_mixed", self._add_mixed_impl, p1, p2)
+
+    def _add_mixed_impl(self, p1, p2):
+        f = self.f
+        X1, Y1, Z1 = p1
+        X2, Y2, Z2 = p2  # Z2 in {0, 1}
+        z1z1 = f.square(Z1)
+        u2 = f.mul(X2, z1z1)
+        s2 = f.mul(f.mul(Y2, Z1), z1z1)
+        h = f.sub(u2, X1)
+        r = f.sub(s2, Y1)
+        hh = f.square(h)
+        hhh = f.mul(h, hh)
+        v = f.mul(X1, hh)
+        x3 = f.sub(f.sub(f.square(r), hhh), f.add(v, v))
+        y3 = f.sub(f.mul(r, f.sub(v, x3)), f.mul(Y1, hhh))
+        z3 = f.mul(Z1, h)
+        out = (x3, y3, z3)
+
+        p1_inf = f.is_zero(Z1)
+        p2_inf = f.is_zero(Z2)
+        same_x = f.is_zero(h)
+        same_y = f.is_zero(r)
+        dbl = self.double(p1)
+        out = self.select(same_x & same_y, dbl, out)
+        out = self.select(same_x & ~same_y & ~p1_inf & ~p2_inf,
+                          self.neutral(out[0].shape[1:]), out)
+        out = self.select(p1_inf, p2, out)
+        out = self.select(p2_inf, p1, out)
+        return out
+
     # -- reductions ---------------------------------------------------------
     # Compile-size discipline: a batched EC add expands to several thousand
     # XLA ops, so log-depth reductions must never unroll the combine across

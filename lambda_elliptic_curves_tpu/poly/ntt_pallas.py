@@ -12,30 +12,42 @@ write regardless of stage count.  Plugged into the four-step decomposition
 shuffled HBM passes to ~2 local-transform passes plus the transposes and
 the cross-twiddle multiply.
 
-Kernel structure:
+Kernel structure (this is the SECOND formulation; see history below):
 
 * grid over batch tiles — each program owns a ``(K, T, n)`` uint32 block
   (digit planes x batch rows x transform lanes), sized to ~1-2 MB;
-* the constant-geometry (Pease) network of ``ntt._fft_pease``: because
-  the network's geometry is stage-invariant, ALL post-peel stages run as
-  one ``lax.fori_loop`` whose body reads stage s's twiddle row
-  ``tw[l mod 2^s]`` from a precomputed ``(S-1, K, n/2)`` stage table
-  (built OUTSIDE the kernel by one gather), multiplies with the lazy
-  Montgomery product and interleaves add/sub halves in VMEM — the rolled
-  loop keeps the kernel jaxpr O(stage body), not O(log n · body), which
-  is what makes the program compilable (the unrolled form drove XLA/CPU
-  interpret-mode compiles past 3 minutes at n=16);
+* an **in-place Gentleman–Sande (DIF) network**: stage ``s`` pairs lanes
+  at distance ``d = n >> (s+1)`` via two ``pltpu.roll``s (dynamic lane
+  rotates — the only data movement Mosaic lowers natively for this
+  access pattern) and a ``(lane & d) == 0`` mask select; natural-order
+  input, bit-reversed output (the final gather runs outside the kernel).
+  All multiply stages run as one ``lax.fori_loop`` reading stage ``s``'s
+  twiddle row from a precomputed ``(S-1, K, n)`` table via a dynamic ref
+  load; the last stage (twiddle == 1) is peeled to a plain add/sub.
 * the digit arithmetic is the verbatim digit-list core of
   :mod:`..ops.limbs` (``mont_mul_lazy`` / ``add_raw`` / ``sub_offset_raw``
   / ``cond_sub_const``) — pure elementwise uint32 ops with statically
-  checked bounds, which Mosaic lowers directly;
-* bit-reverse output gather and final canonicalisation stay outside the
-  kernel (they are single XLA passes).
+  checked bounds, which Mosaic lowers directly.  Lazy-bound invariant:
+  values stay < 2p across stages (sum takes one conditional subtract; the
+  lazy Montgomery product of a canonical twiddle with a < 4p operand is
+  < 2p by the tier-1 headroom check), and the peeled final stage emits
+  < 4p, canonicalised outside.
+
+Why not the constant-geometry (Pease) network of ``ntt._fft_pease``: its
+per-stage perfect shuffle is a minor-dim interleave — a
+``(..., n/2, 2) -> (..., n)`` reshape that Mosaic rejects on real TPU
+toolchains (``tpu.reshape`` of ``vector<...x2048x2xi32>`` to
+``vector<...x4096xi32>`` fails to lower), and there is no native
+element-interleave op (``pltpu.repeat`` is tile-style concatenation).
+The in-place DIF network trades the shuffle for two dynamic lane rotates
+per stage and one full-width (vs half-width) Montgomery multiply — both
+VMEM-resident, so the HBM math above still holds.
 
 Scope: fields with lazy-reduction headroom (``ntt._lazy_tier >= 1`` —
 Stark252-class 256-bit fields); everything else falls back to the XLA
 Pease path, as does CPU-only execution unless interpret mode is forced
-(tests run with ``LWT_NTT_PALLAS=interpret``).
+(tests run with ``LWT_NTT_PALLAS=interpret``).  Any Mosaic lowering
+failure at runtime also degrades to the XLA path (never fatal).
 """
 
 from __future__ import annotations
@@ -55,11 +67,21 @@ from . import ntt
 # splits anything bigger before it reaches the local hook
 _MAX_BLOCK_BYTES = 1 << 21  # target VMEM per input block (~2 MB)
 _MIN_N = 256                # below this the XLA path wins (gather + pad cost)
+# validated-on-silicon ceiling: n in {256..1024} lowers and runs on the v5e
+# remote compiler; n >= 2048 crashes the tpu_compile_helper (HTTP 500, no
+# diagnostics emitted).  Sizes above the cap fall back to the XLA path
+# rather than paying a known-failing compile.
+_MAX_N = int(os.environ.get("LWT_NTT_PALLAS_MAX_N", "1024"))
 
 
 def _mode() -> str:
     """'on' (TPU compile), 'interpret' (forced, for CPU tests), 'off'."""
     return os.environ.get("LWT_NTT_PALLAS", "on")
+
+
+# (field, n, T) combos whose kernel failed to lower on this backend; they
+# skip straight to the XLA path on subsequent calls
+_BROKEN: set = set()
 
 
 def _tile_rows(K: int, n: int) -> int:
@@ -69,12 +91,18 @@ def _tile_rows(K: int, n: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_indices(n: int) -> np.ndarray:
-    """(S-1, n/2) int32: stage s (1-based) uses twiddle ``l mod 2^s``."""
-    h = n // 2
+def _dif_stage_indices(n: int) -> np.ndarray:
+    """(S-1, n) int32 twiddle-power index per DIF stage: stage ``s`` pairs
+    lanes at distance ``d = n >> (s+1)`` and multiplies the difference by
+    ``root^((j & (d-1)) << s)`` (identical at both pair positions).  The
+    last stage (s = S-1, d = 1) has twiddle 1 and is peeled."""
     stages = n.bit_length() - 1
-    lane = np.arange(h, dtype=np.int32)
-    return np.stack([lane & ((1 << s) - 1) for s in range(1, stages)])
+    j = np.arange(n, dtype=np.int64)
+    rows = []
+    for s in range(stages - 1):
+        d = n >> (s + 1)
+        rows.append(((j & (d - 1)) << s).astype(np.int32))
+    return np.stack(rows) if rows else np.zeros((0, n), np.int32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -86,55 +114,52 @@ def _kernel_for(field: PrimeField, n: int, T: int, interpret: bool):
     fp = field.params
     K = fp.num_digits
     p = fp.p
-    h = n // 2
     stages = n.bit_length() - 1
     tier = ntt._lazy_tier(fp)
     assert tier >= 1
-    inv = 4 * p if tier == 2 else 2 * p
-    red = 2 * p
     r_cap = 1 << (fp.digit_bits * fp.num_digits)
-    wb_b = (p * inv) // r_cap + p + 1
-    assert wb_b <= 2 * p and p * inv < r_cap * p
-    assert max(red, max(inv + wb_b, inv + 2 * p) - red) <= inv
-    assert max(inv + wb_b, inv + 2 * p) < r_cap
-
-    def interleave(sa, sb):
-        # out[2i] = sa[i], out[2i+1] = sb[i] — the Pease perfect shuffle
-        # applied to [sa; sb], kept in VMEM
-        y = jnp.stack([sa, sb], axis=-1)  # (K, T, h, 2)
-        return y.reshape(K, T, n)
+    # invariant: stage inputs < 2p.  sum < 4p -> cond_sub(2p) -> < 2p;
+    # diff (a - b + 2p) < 4p; lazy product of canonical twiddle (< p) with
+    # diff needs p*4p < R*p and emits < 4p^2/R + p + 1 <= 2p since R > 4p
+    assert 4 * p < r_cap
+    wd_bound = (p * 4 * p) // r_cap + p + 1
+    assert wd_bound <= 2 * p
 
     def kernel(x_ref, tw_ref, o_ref):
-        y = x_ref[:]  # (K, T, n) canonical Montgomery digits
-        # stage 0 peeled: twiddle == 1, canonical inputs -> values < 2p
-        a, b = y[..., :h], y[..., h:]
-        y = interleave(
-            limbs.add_raw(a, b, fp, 2 * p),
-            limbs.sub_offset_raw(a, b, p, fp, 2 * p),
-        )
+        y = x_ref[:]  # (K, T, n) canonical Montgomery digits (< p < 2p)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (K, T, n), 2)
+
+        def butterfly(y, d):
+            """One DIF stage at (dynamic) distance d: returns the masked
+            sum/diff halves (sum at bit-clear lanes, diff at bit-set)."""
+            mask = (lane & d) == 0
+            # partner[j] = y[j + d] at bit-clear lanes, y[j - d] at bit-set
+            right = pltpu.roll(y, d, axis=2)            # y[j - d]
+            left = pltpu.roll(y, jnp.int32(n) - d, axis=2)  # y[j + d]
+            partner = jnp.where(mask, left, right)
+            s_sum = limbs.add_raw(y, partner, fp, 4 * p)
+            s_diff = limbs.sub_offset_raw(partner, y, 2 * p, fp, 4 * p)
+            return mask, s_sum, s_diff
 
         def stage(s, y):
-            # twiddle row for stage s: tw_ref[s-1], canonical Montgomery
-            w = jax.lax.dynamic_index_in_dim(
-                tw_ref[:], s - 1, axis=0, keepdims=False)[:, None, :]
-            a, b = y[..., :h], y[..., h:]
-            wb, _ = limbs.mont_mul_lazy(
-                jnp.broadcast_to(w, (K, T, h)), b, fp, p * inv
-            )
-            s_add = limbs.cond_sub_const(
-                limbs.add_raw(a, wb, fp, inv + wb_b), red, fp
-            )
-            s_sub = limbs.cond_sub_const(
-                limbs.sub_offset_raw(a, wb, 2 * p, fp, inv + 2 * p), red, fp
-            )
-            return interleave(s_add, s_sub)
+            d = jnp.int32(n) >> (s + jnp.int32(1))
+            mask, s_sum, s_diff = butterfly(y, d)
+            s_sum = limbs.cond_sub_const(s_sum, 2 * p, fp)
+            # twiddle row for stage s, canonical Montgomery — a dynamic
+            # ref load (Mosaic lowers these; dynamic_slice on a
+            # materialized value it does not)
+            w = tw_ref[pl.dslice(s, 1)][0][:, None, :]
+            wd, _ = limbs.mont_mul_lazy(
+                jnp.broadcast_to(w, (K, T, n)), s_diff, fp, p * 4 * p)
+            return jnp.where(mask, s_sum, wd)
 
-        # bound invariant: stage() maps values < inv to values < inv
-        # (checked statically above), so the rolled loop is sound
-        o_ref[:] = jax.lax.fori_loop(1, stages, stage, y)
+        y = jax.lax.fori_loop(0, stages - 1, stage, y)
+        # peeled final stage: d = 1, twiddle 1 — plain add/sub, bound 4p
+        mask, s_sum, s_diff = butterfly(y, jnp.int32(1))
+        o_ref[:] = jnp.where(mask, s_sum, s_diff)
 
     def run(x, tw_stages):
-        # x: (K, B, n) with B % T == 0; tw_stages: (S-1, K, h)
+        # x: (K, B, n) with B % T == 0; tw_stages: (S-1, K, n)
         B = x.shape[1]
         return pl.pallas_call(
             kernel,
@@ -143,7 +168,7 @@ def _kernel_for(field: PrimeField, n: int, T: int, interpret: bool):
             in_specs=[
                 pl.BlockSpec((K, T, n), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((stages - 1, K, h), lambda i: (0, 0, 0),
+                pl.BlockSpec((stages - 1, K, n), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((K, T, n), lambda i: (0, i, 0),
@@ -152,8 +177,6 @@ def _kernel_for(field: PrimeField, n: int, T: int, interpret: bool):
         )(x, tw_stages)
 
     # jit so repeated invocations at one shape reuse the traced program
-    # (the unrolled kernel body is a large jaxpr — retracing dominates
-    # otherwise, especially in interpret mode)
     return jax.jit(run)
 
 
@@ -167,6 +190,8 @@ def _local_fft(x, field: PrimeField, root_int: int, canonical: bool = True):
     usable = (
         mode != "off"
         and n >= _MIN_N
+        and (n <= _MAX_N or mode == "interpret")
+        and (field.name, n) not in {(f, m) for f, m, _ in _BROKEN}
         and ntt._lazy_tier(fp) >= 1
         and fp.num_digits * 8 * n * 4 <= 2 * _MAX_BLOCK_BYTES
         and (mode == "interpret" or jax.default_backend() != "cpu")
@@ -185,21 +210,33 @@ def _local_fft(x, field: PrimeField, root_int: int, canonical: bool = True):
         xb = jnp.pad(xb, ((0, 0), (0, Bp - B), (0, 0)))
 
     stages = n.bit_length() - 1
-    h = n // 2
-    tw_br = ntt._local_twiddles(field, root_int, n)  # (K, h)
-    idx = jnp.asarray(_stage_indices(n).reshape(-1))
-    tw_stages = jnp.take(tw_br, idx, axis=-1).reshape(K, stages - 1, h)
-    tw_stages = jnp.swapaxes(tw_stages, 0, 1)  # (S-1, K, h)
+    # natural-order twiddle powers root^0..root^(n/2-1), gathered into the
+    # per-stage (S-1, K, n) DIF tables
+    pows = ntt.powers(field, root_int, max(n // 2, 1))  # (K, n/2)
+    idx = jnp.asarray(_dif_stage_indices(n).reshape(-1))
+    tw_stages = jnp.take(pows, idx, axis=-1).reshape(K, stages - 1, n)
+    tw_stages = jnp.swapaxes(tw_stages, 0, 1)  # (S-1, K, n)
 
     run = _kernel_for(field, n, T, mode == "interpret")
-    y = run(xb, tw_stages)
+    try:
+        y = run(xb, tw_stages)
+    except Exception as e:  # noqa: BLE001 — Mosaic lowering gaps are
+        # backend-version-specific; a lowering failure must degrade to the
+        # XLA Pease path, never kill a prover or bench run
+        _BROKEN.add((field.name, n, T))
+        import warnings
+
+        warnings.warn(
+            f"pallas NTT kernel failed to lower ({type(e).__name__}: "
+            f"{str(e)[:400]}); falling back to the XLA Pease path",
+            RuntimeWarning)
+        return ntt._fft_pease(x, field, root_int, canonical)
 
     if Bp != B:
         y = y[:, :B]
     y = y.reshape((K,) + batch + (n,))
     y = ntt.bit_reverse_permute(y)
-    tier = ntt._lazy_tier(fp)
-    bound = 4 * fp.p if tier == 2 else 2 * fp.p
+    bound = 4 * fp.p
     if canonical:
         return ntt._canonicalize(y, bound, fp)
     return y, bound

@@ -61,6 +61,32 @@ def test_device_group_law_matches_host(curve):
         assert c.is_neutral_element() or p.is_neutral_element()
 
 
+@pytest.mark.parametrize("curve", [BN254Curve, TestCurve1], ids=lambda c: c.name)
+def test_device_mixed_add_matches_host(curve):
+    """add_mixed(jacobian, affine) == host add, incl. every edge case the
+    complete formula must handle (identity either side, doubling lane,
+    inverse pair)."""
+    ops = JacobianOps(curve)
+    g = curve.generator()
+    lhs_host = [g * 2, g * 4, g, g * 6, curve.neutral(), g * 5]
+    rhs_host = [g * 5, curve.neutral(), g, (-(g * 6)), g * 3, g * 5]
+    # double() of an affine upload yields z != 1 lanes: a genuinely
+    # Jacobian left operand (half of lhs_host pre-halved so values match)
+    lhs_dev = ops.double(ops.from_host([g, g * 2, g * 7, g * 3,
+                                        curve.neutral(), g * 9]))
+    # lanes 2 and 5 must be exactly affine to hit doubling/equal cases
+    aff = ops.from_host([g, g * 2, g, g * 3, curve.neutral(), g * 5])
+    import jax.numpy as jnp
+    lane = jnp.arange(6)
+    pick_aff = (lane == 2) | (lane == 5)
+    lhs_dev = ops.select(pick_aff, aff, lhs_dev)
+    lhs_host = [g * 2, g * 4, g, g * 6, curve.neutral(), g * 5]
+    rhs_dev = ops.from_host(rhs_host)
+    got = ops.to_host(ops.add_mixed(lhs_dev, rhs_dev))
+    for a, b, s in zip(lhs_host, rhs_host, got):
+        assert s == a + b
+
+
 def test_tree_reduce():
     curve = BN254Curve
     ops = JacobianOps(curve)
