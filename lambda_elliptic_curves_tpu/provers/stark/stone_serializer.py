@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from ...fiat_shamir.stone import StoneProverTranscript
 from .domain import Domain
+from .extension import ChallengeBundle
 from .proof import StarkProof
 from .verifier import Verifier
 
@@ -77,10 +78,12 @@ def get_fri_query_indexes(air_class, proof: StarkProof, pub_inputs, options,
     """Replay the verifier transcript to recover the query iotas
     (``stark.rs:get_fri_query_indexes``)."""
     air = air_class(proof.trace_length, pub_inputs, options)
+    ext = ChallengeBundle(air.field, getattr(air, "extension_degree", 1))
+    air.challenge_bundle = ext if ext.degree > 1 else None
     domain = Domain(air)
     transcript = StoneProverTranscript(public_input_bytes)
     challenges = Verifier(air_class)._step_1_replay_rounds(
-        air, domain, proof, transcript
+        air, ext, domain, proof, transcript
     )
     if challenges is None:
         raise ValueError("proof transcript replay failed (invalid proof?)")
