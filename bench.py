@@ -183,7 +183,10 @@ def bench_small_field():
 def bench_msm():
     from lambda_elliptic_curves_tpu.curves.zoo import BLS12381Curve
     from lambda_elliptic_curves_tpu.curves.weierstrass import JacobianOps
-    from lambda_elliptic_curves_tpu.curves import msm as msm_mod
+    # NOTE: `import ...curves.msm as msm_mod` binds the *function* re-exported
+    # by curves/__init__.py (package attr shadows the submodule); import the
+    # callable directly.
+    from lambda_elliptic_curves_tpu.curves.msm import msm_pippenger
     from lambda_elliptic_curves_tpu.ops import limbs
 
     log_b = int(os.environ.get("BENCH_MSM_LOG", "18"))
@@ -226,7 +229,7 @@ def bench_msm():
                             dtype=jnp.int32).astype(jnp.uint32)
     sd = sd.at[-1].set(0)
 
-    run = jax.jit(lambda sd, pts: msm_mod.msm_pippenger(curve, sd, pts))
+    run = jax.jit(lambda sd, pts: msm_pippenger(curve, sd, pts))
     ms, out = _median_ms(run, sd, pts)
 
     # oracle: scalars s_i pair with point ((i mod base)+1)*G
@@ -276,12 +279,13 @@ def bench_stark():
 
     # one warmup prove (compiles), then timed proves
     prove(air_cls, trace, pub, options, DefaultTranscript(field))
+    reps = int(os.environ.get("BENCH_STARK_REPS", "1"))
     times = []
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
         proof = prove(air_cls, trace, pub, options, DefaultTranscript(field))
         times.append(time.perf_counter() - t0)
-    ms = sorted(times)[1] * 1000.0
+    ms = sorted(times)[len(times) // 2] * 1000.0
     ok = verify(air_cls, proof, pub, options, DefaultTranscript(field))
     return {
         "metric": f"stark_fib_prove_2^{log_rows}",
@@ -373,6 +377,79 @@ def bench_pairing():
 
 
 # ---------------------------------------------------------------------------
+# extra — field-op / EC-op micro-bench matrix (VERDICT r2 item 10;
+# reference: math/benches/criterion_field.rs, criterion_elliptic_curve.rs)
+# ---------------------------------------------------------------------------
+
+def bench_micro():
+    """Per-op device throughput at 2^20 lanes: field mul/add/inv/sqrt for
+    Stark252 + BabyBear, and BLS12-381 Jacobian add/double.  Emits one row
+    per op so kernel-level regressions are visible between rounds."""
+    from lambda_elliptic_curves_tpu.fields import BabyBear, Stark252
+    from lambda_elliptic_curves_tpu.curves.zoo import BLS12381Curve
+    from lambda_elliptic_curves_tpu.curves.weierstrass import JacobianOps
+
+    lanes = 1 << int(os.environ.get("BENCH_MICRO_LOG", "20"))
+    rows = []
+
+    for f in (Stark252, BabyBear):
+        key = jax.random.PRNGKey(11)
+        a = jax.random.randint(key, (f.num_digits, lanes), 0, 1 << 12,
+                               dtype=jnp.uint32)
+        b = jax.random.randint(jax.random.PRNGKey(12),
+                               (f.num_digits, lanes), 0, 1 << 12,
+                               dtype=jnp.uint32)
+        sq = jax.jit(lambda x: f.mul(x, x))(a)  # QR guarantee for sqrt
+        ops = {
+            "mul": (jax.jit(f.mul), (a, b)),
+            "add": (jax.jit(f.add), (a, b)),
+            "inv": (jax.jit(f.inv), (a,)),
+        }
+        if hasattr(f, "sqrt"):
+            ops["sqrt"] = (jax.jit(f.sqrt), (sq,))
+        for op, (fn, args) in ops.items():
+            try:
+                ms, out = _median_ms(fn, *args)
+                jax.block_until_ready(out)
+                rows.append({
+                    "metric": f"micro_{f.params.name}_{op}_2^20",
+                    "value": round(ms, 3), "unit": "ms",
+                    "vs_baseline": None, "check": "ok",
+                })
+            except Exception as e:  # noqa: BLE001
+                rows.append({"metric": f"micro_{f.params.name}_{op}",
+                             "error": repr(e)[:160]})
+
+    try:
+        curve = BLS12381Curve
+        jops = JacobianOps(curve)
+        g = curve.generator()
+        n_pts = min(lanes, 1 << 16)
+        f = curve.field
+        px = jnp.tile(f.array([g.x]), (1, n_pts))
+        py = jnp.tile(f.array([g.y]), (1, n_pts))
+        pz = f.constant(1, (n_pts,))
+        pts = (px, py, pz)
+        dbl = jax.jit(lambda P: jops.double(P))
+        addf = jax.jit(lambda P, Q: jops.add(P, Q))
+        two_g = dbl(pts)
+        for op, fn, args in (("double", dbl, (pts,)),
+                             ("add", addf, (pts, two_g))):
+            ms, out = _median_ms(fn, *args)
+            rows.append({
+                "metric": f"micro_bls12381_jacobian_{op}_2^{n_pts.bit_length() - 1}",
+                "value": round(ms, 3), "unit": "ms",
+                "vs_baseline": None, "check": "ok",
+            })
+    except Exception as e:  # noqa: BLE001
+        rows.append({"metric": "micro_bls12381_ec", "error": repr(e)[:160]})
+
+    for r in rows[:-1]:
+        _emit(r)
+    return rows[-1]
+
+
+# ---------------------------------------------------------------------------
 
 def main():
     from lambda_elliptic_curves_tpu.utils.jax_cache import (
@@ -381,20 +458,35 @@ def main():
 
     enable_compilation_cache()
 
-    wanted = os.environ.get("BENCH_CONFIGS",
-                            "small,msm,stark,groth16,pairing,ntt").split(",")
+    # Headline (Stark252 NTT interpolate — the only config with a published
+    # reference baseline) runs FIRST so a timeout can never starve it; its
+    # row is re-emitted as the final line for the driver's last-line parse.
+    wanted = os.environ.get(
+        "BENCH_CONFIGS", "ntt,small,msm,stark,groth16,pairing,micro"
+    ).split(",")
     configs = {
+        "ntt": bench_ntt,
         "small": bench_small_field,
         "msm": bench_msm,
         "stark": bench_stark,
         "groth16": bench_groth16,
         "pairing": bench_pairing,
-        "ntt": bench_ntt,   # headline last: the driver parses the last line
+        "micro": bench_micro,
     }
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    t_start = time.perf_counter()
     results = []
+    headline = None
     for name in wanted:
         fn = configs.get(name.strip())
         if fn is None:
+            continue
+        elapsed = time.perf_counter() - t_start
+        if headline is not None and elapsed > budget_s:
+            row = {"metric": name.strip(), "skipped": True,
+                   "reason": f"budget {budget_s}s exceeded ({elapsed:.0f}s)"}
+            results.append(row)
+            _emit(row)
             continue
         try:
             row = fn()
@@ -402,11 +494,15 @@ def main():
             row = {"metric": name, "error": repr(e)[:300]}  # kill the rest
         results.append(row)
         _emit(row)
+        if name.strip() == "ntt":
+            headline = row
     try:
         with open("bench_results.json", "w") as fh:
             json.dump(results, fh, indent=1)
     except OSError:
         pass
+    if headline is not None and "error" not in headline:
+        _emit(headline)  # final line = headline metric (driver parses last)
 
 
 if __name__ == "__main__":

@@ -235,18 +235,13 @@ def _keccak256_words_impl(words, msg_bytes: int):
 def digest_words_to_bytes(words) -> list[bytes]:
     """(8, B) uint32 LE digest words -> list of 32-byte digests."""
     arr = np.asarray(words)
-    flat = arr.reshape(8, -1)
-    out = []
-    for b in range(flat.shape[1]):
-        out.append(b"".join(int(flat[i, b]).to_bytes(4, "little") for i in range(8)))
-    return out
+    flat = np.ascontiguousarray(arr.reshape(8, -1).T.astype("<u4"))
+    buf = flat.tobytes()  # B contiguous 32-byte digests
+    return [buf[32 * b: 32 * b + 32] for b in range(flat.shape[0])]
 
 
 def bytes_to_digest_words(digests: list[bytes]):
     """Inverse of digest_words_to_bytes."""
-    B = len(digests)
-    arr = np.zeros((8, B), np.uint32)
-    for b, d in enumerate(digests):
-        for i in range(8):
-            arr[i, b] = int.from_bytes(d[4 * i : 4 * i + 4], "little")
-    return jnp.asarray(arr)
+    buf = b"".join(digests)
+    arr = np.frombuffer(buf, dtype="<u4").reshape(len(digests), 8).T
+    return jnp.asarray(np.ascontiguousarray(arr))

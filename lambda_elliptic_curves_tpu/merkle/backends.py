@@ -143,6 +143,22 @@ class KeccakFieldBackend(MerkleBackend):
     def to_host(self, nodes):
         return keccak.digest_words_to_bytes(nodes)
 
+    def build_parents_host(self, hashed_leaves):
+        """All levels above the (device) leaf digests via the native C
+        keccak — one transfer + one ctypes call instead of log2(n) device
+        dispatches and per-level transfers.  Returns host levels (leaf
+        level first) or None when the native library is unavailable
+        (``LWT_MERKLE_HOST=0`` forces the device path)."""
+        import os
+
+        if os.environ.get("LWT_MERKLE_HOST", "1") == "0":
+            return None
+        from .. import native
+
+        if native.load() is None:
+            return None
+        return native.merkle_levels(self.to_host(hashed_leaves))
+
     def hash_leaf_host(self, value):
         return keccak.keccak256(self.field(value).as_bytes())
 

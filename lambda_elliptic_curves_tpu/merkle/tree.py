@@ -67,9 +67,18 @@ class MerkleTree:
 
     @classmethod
     def build(cls, backend: MerkleBackend, leaves):
-        """``leaves``: backend-specific batched device array(s)."""
+        """``leaves``: backend-specific batched device array(s).
+
+        Leaf hashing is one batched device call; parent levels prefer the
+        backend's native host path (one transfer + one C call) and fall
+        back to per-level device hashing."""
         hashed = backend.hash_leaves(leaves)
         hashed = backend.pad_to_power_of_two(hashed)
+        host_builder = getattr(backend, "build_parents_host", None)
+        if host_builder is not None:
+            host_levels = host_builder(hashed)
+            if host_levels is not None:
+                return cls(backend, host_levels)
         levels = [hashed]
         while backend.count(hashed) > 1:
             hashed = backend.hash_parents(hashed)

@@ -66,6 +66,11 @@ def load():
             ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_uint64,
         ]
         lib.lw_grind.restype = ctypes.c_int64
+        if hasattr(lib, "lw_merkle_levels"):
+            lib.lw_merkle_levels.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+            ]
+            lib.lw_merkle_levels.restype = None
         _lib = lib
         return _lib
 
@@ -87,3 +92,34 @@ def grind(inner32: bytes, factor: int, start: int, count: int):
     if lib is None:
         return None
     return int(lib.lw_grind(bytes(inner32), int(factor), start, count))
+
+
+def merkle_levels(leaf_digests: list):
+    """All keccak-256 Merkle levels above ``leaf_digests`` (a power-of-two
+    list of 32-byte digests), leaf level first, root level last — or None
+    when the native library is unavailable.
+
+    One ctypes call builds every parent in C (the sequential level walk
+    costs ~1 us/hash; the reference parallelises the same loop with rayon,
+    ``crypto/src/merkle_tree/merkle.rs:33``)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "lw_merkle_levels"):
+        return None
+    n = len(leaf_digests)
+    if n & (n - 1) or n == 0:
+        raise ValueError("leaf count must be a power of two")
+    buf = ctypes.create_string_buffer(32 * 2 * n)
+    ctypes.memmove(ctypes.byref(buf, 32 * n), b"".join(leaf_digests), 32 * n)
+    if n > 1:
+        lib.lw_merkle_levels(buf, n)
+    raw = buf.raw
+    levels = []
+    size = n
+    while size >= 1:
+        base = 32 * size
+        levels.append([raw[base + 32 * j: base + 32 * j + 32]
+                       for j in range(size)])
+        if size == 1:
+            break
+        size >>= 1
+    return levels

@@ -107,3 +107,13 @@ int64_t lw_grind(const uint8_t inner[32], int factor, uint64_t start,
     }
     return -1;
 }
+
+/* Merkle parent build over a binary heap of 32-byte keccak-256 digests
+ * (crypto/src/merkle_tree/merkle.rs:33 parity: parent = H(left || right)).
+ * nodes: 32*2n bytes; leaves pre-filled at nodes[32*n .. 32*2n); this fills
+ * nodes[32 .. 32*n) bottom-up (node i's children are 2i and 2i+1, which sit
+ * contiguously at byte offset 64*i).  nodes[0..32) is left untouched. */
+void lw_merkle_levels(uint8_t *nodes, size_t n) {
+    for (size_t i = n - 1; i >= 1; i--)
+        lw_keccak256(nodes + 64 * i, 64, nodes + 32 * i);
+}

@@ -204,7 +204,7 @@ def _twiddle_matrix(field: PrimeField, root_int: int, n2: int, n1: int):
 
 
 def fft_with_root(x, field: PrimeField, root_int: int, canonical: bool = True,
-                  local_fn=None):
+                  local_fn=None, max_local: int | None = None):
     """Natural-order transform along the last axis with an explicit
     primitive root (any power-of-two length, any batch dims).
 
@@ -216,6 +216,13 @@ def fft_with_root(x, field: PrimeField, root_int: int, canonical: bool = True,
     (same signature/contract as ``_fft_pease`` — the hook the Pallas
     VMEM-resident kernel plugs into, :mod:`.ntt_pallas`).
 
+    ``max_local`` caps the local transform length: instead of the balanced
+    ``sqrt(n)`` split, the decomposition is *unbalanced* — n2 is pinned to
+    ``max_local`` (the bulk second transform, which then runs entirely in
+    the local kernel) and the recursion continues on n1 = n / n2.  This is
+    how the VMEM-bounded Pallas kernel covers arbitrarily large n with
+    1024-point locals.
+
     With ``canonical=False`` the result may be a lazy representative:
     returns ``(y, value_bound)`` and skips the final reduction passes
     (used by :func:`ifft`, whose n^-1 scaling multiply canonicalises for
@@ -223,11 +230,18 @@ def fft_with_root(x, field: PrimeField, root_int: int, canonical: bool = True,
     """
     local = local_fn or _fft_pease
     n = x.shape[-1]
-    if n <= _FOUR_STEP_MIN:
+    limit = _FOUR_STEP_MIN if max_local is None else min(_FOUR_STEP_MIN,
+                                                         max_local)
+    if n <= limit:
         return local(x, field, root_int, canonical)
 
     log_n = n.bit_length() - 1
-    log_n1 = (log_n + 1) // 2
+    if max_local is not None:
+        # unbalanced: bulk local length pinned to max_local, recurse on n1
+        log_n2 = min(log_n - 1, max_local.bit_length() - 1)
+        log_n1 = log_n - log_n2
+    else:
+        log_n1 = (log_n + 1) // 2
     n1 = 1 << log_n1
     n2 = n >> log_n1
     K = x.shape[0]
@@ -238,14 +252,15 @@ def fft_with_root(x, field: PrimeField, root_int: int, canonical: bool = True,
     # the cross-twiddle multiply is a strict Montgomery product, which
     # canonicalises lazy local-transform output for free
     a, _ = fft_with_root(xt, field, pow(root_int, n2, field.p),
-                         canonical=False, local_fn=local_fn)  # A[j2,k1], lazy
+                         canonical=False, local_fn=local_fn,
+                         max_local=max_local)  # A[j2,k1], lazy
     t = _twiddle_matrix(field, root_int, n2, n1)
     t = t.reshape((K,) + (1,) * len(batch) + (n2, n1))
     b = field.mul(a, t)
     bt = jnp.swapaxes(b, -1, -2)  # (..., k1, j2)
     c, c_bound = fft_with_root(bt, field, pow(root_int, n1, field.p),
-                               canonical=False,
-                               local_fn=local_fn)  # C[k1, k2], lazy
+                               canonical=False, local_fn=local_fn,
+                               max_local=max_local)  # C[k1, k2], lazy
     out = jnp.swapaxes(c, -1, -2)  # (..., k2, k1): flatten = k2*N1 + k1
     out = out.reshape((K,) + batch + (n,))
     if canonical:

@@ -183,18 +183,29 @@ def _kernel_for(field: PrimeField, n: int, T: int, interpret: bool):
 def _local_fft(x, field: PrimeField, root_int: int, canonical: bool = True):
     """Drop-in for ``ntt._fft_pease`` (same contract: natural-order input,
     natural-order spectrum out; with ``canonical=False`` returns
-    ``(lazy_digits, value_bound)``)."""
+    ``(lazy_digits, value_bound)``).
+
+    Locals larger than the silicon-validated ``_MAX_N`` do not fall back to
+    XLA: they re-enter the four-step recursion with an *unbalanced* split
+    (``max_local=_MAX_N``), so the bulk transform legs stay 1024-point VMEM
+    kernels and only the short n1 legs (< ``_MIN_N``) run on the XLA path."""
     n = x.shape[-1]
     fp = field.params
     mode = _mode()
-    usable = (
+    common_ok = (
         mode != "off"
-        and n >= _MIN_N
-        and (n <= _MAX_N or mode == "interpret")
         and (field.name, n) not in {(f, m) for f, m, _ in _BROKEN}
         and ntt._lazy_tier(fp) >= 1
-        and fp.num_digits * 8 * n * 4 <= 2 * _MAX_BLOCK_BYTES
         and (mode == "interpret" or jax.default_backend() != "cpu")
+    )
+    if common_ok and n > _MAX_N and mode != "interpret":
+        return ntt.fft_with_root(x, field, root_int, canonical,
+                                 local_fn=_local_fft, max_local=_MAX_N)
+    usable = (
+        common_ok
+        and n >= _MIN_N
+        and (n <= _MAX_N or mode == "interpret")
+        and fp.num_digits * 8 * n * 4 <= 2 * _MAX_BLOCK_BYTES
     )
     if not usable:
         return ntt._fft_pease(x, field, root_int, canonical)
@@ -248,8 +259,17 @@ def _local_fft(x, field: PrimeField, root_int: int, canonical: bool = True):
 # ---------------------------------------------------------------------------
 
 def fft_with_root(x, field: PrimeField, root_int: int, canonical: bool = True):
+    # On real TPU with a kernel-capable field, pin locals to _MAX_N from the
+    # top (one fewer split level than letting _local_fft re-split each
+    # balanced sqrt(n) leg).
+    use_max = (
+        _mode() == "on"
+        and jax.default_backend() != "cpu"
+        and ntt._lazy_tier(field.params) >= 1
+    )
     return ntt.fft_with_root(x, field, root_int, canonical,
-                             local_fn=_local_fft)
+                             local_fn=_local_fft,
+                             max_local=_MAX_N if use_max else None)
 
 
 def fft(coeffs, field: PrimeField):

@@ -114,6 +114,14 @@ class ChallengeBundle:
             return int(self.f.to_ints(arr).ravel()[0])
         return self.fd.to_tuples(arr)[0]
 
+    def host_values(self, arr) -> list:
+        """Device array (D*K, Q) -> list of Q host values (ints or nested
+        tuples).  One transfer for the whole batch — the batched counterpart
+        of :meth:`host_value` for query openings."""
+        if self.degree == 1:
+            return [int(v) for v in self.f.to_ints(arr).ravel()]
+        return self.fd.to_tuples(arr)
+
     def unflatten_leaf(self, vals, count: int) -> list:
         """Inverse of :meth:`leaf_base_values` for a ``count``-element leaf:
         flat base ints (component-major) -> host E FieldElements."""

@@ -481,18 +481,28 @@ class Prover:
         return fd.mul(two, fd.add(even, fd.mul(zc, odd)))
 
     def _fri_query(self, ext, layers, iotas):
-        """FRI decommitments (``fri/mod.rs:77``)."""
-        out = []
-        for iota in iotas:
-            evals_sym, paths = [], []
-            index = iota
-            for evals_br, tree in layers:
-                evals_sym.append(ext.host_value(evals_br[..., index ^ 1]))
-                paths.append(tree.get_proof_by_pos(index >> 1))
-                index >>= 1
-            out.append(FriDecommitment(layers_auth_paths=paths,
-                                       layers_evaluations_sym=evals_sym))
-        return out
+        """FRI decommitments (``fri/mod.rs:77``).
+
+        Openings are gathered *batched*: one ``jnp.take`` (index array as a
+        runtime input — shape-stable, compiled once) + one host pull per
+        layer for ALL queries.  Per-query Python-int indexing would bake
+        each random index into a fresh XLA program every prove call."""
+        indexes = list(iotas)
+        layer_vals, layer_paths = [], []
+        for evals_br, tree in layers:
+            sym = jnp.asarray([i ^ 1 for i in indexes], dtype=jnp.int32)
+            layer_vals.append(
+                ext.host_values(jnp.take(evals_br, sym, axis=-1)))
+            layer_paths.append(
+                [tree.get_proof_by_pos(i >> 1) for i in indexes])
+            indexes = [i >> 1 for i in indexes]
+        return [
+            FriDecommitment(
+                layers_auth_paths=[paths[q] for paths in layer_paths],
+                layers_evaluations_sym=[vals[q] for vals in layer_vals],
+            )
+            for q in range(len(iotas))
+        ]
 
     # ------------------------------------------------------------------
     def _open_deep(self, f, backend, main_tree, aux_tree, comp_tree, lde_br,
@@ -500,39 +510,60 @@ class Prover:
         """Open trace rows and composition leaves at each iota pair
         (``prover.rs:752-860``).  With ``aux_ext`` the aux trace is
         E-valued and its leaf openings carry the component-major base
-        values that were committed."""
-        openings = []
+        values that were committed.
 
-        def _aux_row(pos):
+        All row values are gathered in ONE ``jnp.take`` per array (runtime
+        index input, single compiled gather) instead of per-query int
+        slicing (a fresh XLA program per random index per prove)."""
+        pair_idx = jnp.asarray(
+            [2 * i + b for i in iotas for b in (0, 1)], dtype=jnp.int32)
+        iota_idx = jnp.asarray(list(iotas), dtype=jnp.int32)
+
+        # (K, C, 2Q) -> [2Q][C] host ints
+        main_rows = f.to_ints(jnp.take(lde_br, pair_idx, axis=-1))
+        main_vals = [[int(v) for v in main_rows[:, q]]
+                     for q in range(main_rows.shape[-1])]
+
+        aux_vals = None
+        if aux_lde_br is not None:
+            gathered = jnp.take(aux_lde_br, pair_idx, axis=-1)
             if aux_ext is None:
-                return [int(v) for v in f.to_ints(aux_lde_br[..., pos])]
-            cols = aux_lde_br[..., pos]  # (D*K, Ca)
-            return aux_ext.leaf_base_values(aux_ext.fd.to_tuples(cols))
+                rows = f.to_ints(gathered)
+                aux_vals = [[int(v) for v in rows[:, q]]
+                            for q in range(rows.shape[-1])]
+            else:
+                aux_vals = [
+                    aux_ext.leaf_base_values(
+                        aux_ext.fd.to_tuples(gathered[..., q]))
+                    for q in range(gathered.shape[-1])
+                ]
 
-        for iota in iotas:
+        comp_rows = f.to_ints(jnp.take(comp_leaves, iota_idx, axis=-1))
+        comp_vals = [[int(v) for v in comp_rows[:, q]]
+                     for q in range(comp_rows.shape[-1])]
+
+        openings = []
+        for q, iota in enumerate(iotas):
             idx, idx_sym = 2 * iota, 2 * iota + 1
             main_open = PolynomialOpenings(
                 proof=main_tree.get_proof_by_pos(idx),
                 proof_sym=main_tree.get_proof_by_pos(idx_sym),
-                evaluations=[int(v) for v in
-                             f.to_ints(lde_br[..., idx])],
-                evaluations_sym=[int(v) for v in
-                                 f.to_ints(lde_br[..., idx_sym])],
+                evaluations=main_vals[2 * q],
+                evaluations_sym=main_vals[2 * q + 1],
             )
             aux_open = None
             if aux_tree is not None:
                 aux_open = PolynomialOpenings(
                     proof=aux_tree.get_proof_by_pos(idx),
                     proof_sym=aux_tree.get_proof_by_pos(idx_sym),
-                    evaluations=_aux_row(idx),
-                    evaluations_sym=_aux_row(idx_sym),
+                    evaluations=aux_vals[2 * q],
+                    evaluations_sym=aux_vals[2 * q + 1],
                 )
-            leaf_vals = [int(v) for v in f.to_ints(comp_leaves[..., iota])]
             comp_open = PolynomialOpenings(
                 proof=comp_tree.get_proof_by_pos(iota),
                 proof_sym=comp_tree.get_proof_by_pos(iota),
-                evaluations=leaf_vals[:nparts],
-                evaluations_sym=leaf_vals[nparts:],
+                evaluations=comp_vals[q][:nparts],
+                evaluations_sym=comp_vals[q][nparts:],
             )
             openings.append(DeepPolynomialOpening(
                 composition_poly=comp_open,
