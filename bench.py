@@ -157,7 +157,8 @@ def bench_small_field():
     backend = PoseidonBackend()
 
     def build(lv):
-        return MerkleTree.build(backend, lv).levels[-1]
+        # root access syncs the full device build chain (lazy levels)
+        return MerkleTree.build(backend, lv).root
 
     ms_merkle, _root = _median_ms(build, leaves)
     tree = MerkleTree.build(backend, leaves)

@@ -93,7 +93,7 @@ class PrimeField:
     def to_ints(self, arr) -> np.ndarray:
         """Device Montgomery digit array -> object ndarray of Python ints."""
         canon = self._jit_from_mont(arr)
-        return limbs.digits_to_ints_np(np.asarray(canon), self.params)
+        return limbs.digits_to_ints_np(canon, self.params)
 
     def to_elements(self, arr):
         flat = self.to_ints(arr)

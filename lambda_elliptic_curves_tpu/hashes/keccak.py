@@ -234,7 +234,9 @@ def _keccak256_words_impl(words, msg_bytes: int):
 
 def digest_words_to_bytes(words) -> list[bytes]:
     """(8, B) uint32 LE digest words -> list of 32-byte digests."""
-    arr = np.asarray(words)
+    from ..ops.limbs import device_to_np
+
+    arr = device_to_np(words)
     flat = np.ascontiguousarray(arr.reshape(8, -1).T.astype("<u4"))
     buf = flat.tobytes()  # B contiguous 32-byte digests
     return [buf[32 * b: 32 * b + 32] for b in range(flat.shape[0])]

@@ -102,6 +102,17 @@ class PoseidonBackend(MerkleBackend):
     def to_host(self, nodes):
         return [int(v) for v in self.field.to_ints(nodes)]
 
+    # lazy-level protocol: one digit-matrix transfer, per-node int on demand
+    def level_to_np(self, nodes):
+        from ..ops.limbs import device_to_np
+
+        return device_to_np(self.field._jit_from_mont(nodes))
+
+    def node_from_np(self, mat, i: int):
+        from ..ops import limbs
+
+        return int(limbs.digits_to_ints_np(mat[:, i], self.field.params))
+
     # host single-node path (proof verification)
     def hash_leaf_host(self, value):
         return poseidon.hash_single_host(self.field(value)).value
@@ -142,6 +153,15 @@ class KeccakFieldBackend(MerkleBackend):
 
     def to_host(self, nodes):
         return keccak.digest_words_to_bytes(nodes)
+
+    # lazy-level protocol (device-fallback trees)
+    def level_to_np(self, nodes):
+        from ..ops.limbs import device_to_np
+
+        return np.ascontiguousarray(device_to_np(nodes).astype("<u4"))
+
+    def node_from_np(self, mat, i: int):
+        return mat[:, i].tobytes()
 
     def build_parents_host(self, hashed_leaves):
         """All levels above the (device) leaf digests via the native C

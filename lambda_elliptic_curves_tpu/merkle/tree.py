@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -58,8 +59,60 @@ class Proof:
         return node == root
 
 
+class LazyLevel:
+    """Host view of one device-resident tree level.
+
+    The digit/word matrix transfers once on first access (no per-node
+    device indexing — that would compile a fresh XLA program per index);
+    individual nodes convert to host values on demand, so building a tree
+    never pays a bulk value conversion for nodes no proof ever touches."""
+
+    def __init__(self, backend: MerkleBackend, nodes):
+        self._backend = backend
+        self._nodes = nodes
+        self._np = None
+
+    def _mat(self):
+        if self._np is None:
+            self._np = self._backend.level_to_np(self._nodes)
+            self._nodes = None
+        return self._np
+
+    def __len__(self):
+        mat = self._np
+        return (mat.shape[-1] if mat is not None
+                else self._backend.count(self._nodes))
+
+    def __getitem__(self, i: int):
+        return self._backend.node_from_np(self._mat(), i)
+
+
+_device_build_cache: dict = {}
+
+
+def _device_levels(backend: MerkleBackend, hashed):
+    """All parent levels in ONE jitted device program (log2(n) hash calls
+    fused into a single dispatch; the reference builds the same levels on
+    CPU with rayon leaf hashing, ``crypto/src/merkle_tree/merkle.rs:33``)."""
+    key = (type(backend), getattr(backend, "field", None),
+           hashed.shape, str(hashed.dtype))
+    fn = _device_build_cache.get(key)
+    if fn is None:
+        def run(lv):
+            levels = [lv]
+            while backend.count(levels[-1]) > 1:
+                levels.append(backend.hash_parents(levels[-1]))
+            return levels
+        fn = jax.jit(run)
+        _device_build_cache[key] = fn
+    return fn(hashed)
+
+
 class MerkleTree:
-    """levels[0] = leaf hashes, levels[-1] = [root] (host values)."""
+    """levels[0] = leaf hashes, levels[-1] = [root].
+
+    Levels are host lists (native-C keccak path) or :class:`LazyLevel`
+    device views (generic path) — both index the same way."""
 
     def __init__(self, backend: MerkleBackend, levels: list):
         self.backend = backend
@@ -70,20 +123,23 @@ class MerkleTree:
         """``leaves``: backend-specific batched device array(s).
 
         Leaf hashing is one batched device call; parent levels prefer the
-        backend's native host path (one transfer + one C call) and fall
-        back to per-level device hashing."""
-        hashed = backend.hash_leaves(leaves)
+        backend's native host path (one transfer + one C call), else build
+        in one fused device program with lazy host views."""
+        return cls.from_leaf_digests(backend, backend.hash_leaves(leaves))
+
+    @classmethod
+    def from_leaf_digests(cls, backend: MerkleBackend, hashed):
+        """Build from already-hashed leaves (a device digest array) — the
+        entry point for fused pipelines that hash leaves inside a larger
+        jitted program (e.g. the FRI layer step)."""
         hashed = backend.pad_to_power_of_two(hashed)
         host_builder = getattr(backend, "build_parents_host", None)
         if host_builder is not None:
             host_levels = host_builder(hashed)
             if host_levels is not None:
                 return cls(backend, host_levels)
-        levels = [hashed]
-        while backend.count(hashed) > 1:
-            hashed = backend.hash_parents(hashed)
-            levels.append(hashed)
-        return cls(backend, [backend.to_host(lvl) for lvl in levels])
+        levels = _device_levels(backend, hashed)
+        return cls(backend, [LazyLevel(backend, lvl) for lvl in levels])
 
     @property
     def root(self):

@@ -106,18 +106,30 @@ def ints_to_digits_np(values, fp: FieldParams) -> np.ndarray:
     return out
 
 
+def device_to_np(arr) -> np.ndarray:
+    """Device array -> numpy via ``jax.device_get``.
+
+    NEVER ``np.asarray`` a multi-dimensional device array here: through the
+    tunneled TPU backend that falls back to per-row/element fetches
+    (measured ~90 s for a (8, 8192) u32 array vs ~0 ms for device_get)."""
+    import jax
+
+    if isinstance(arr, jax.Array):
+        return jax.device_get(arr)
+    return np.asarray(arr)
+
+
 def digits_to_ints_np(digits, fp: FieldParams = None) -> np.ndarray:
     """``(K, *batch)`` digit array -> object ndarray of Python ints."""
     bits = fp.digit_bits if fp is not None else 16
-    digits = np.asarray(digits)
+    digits = device_to_np(digits)
     K = digits.shape[0]
     flat = digits.reshape(K, -1)
-    out = np.empty(flat.shape[1], dtype=object)
-    for b in range(flat.shape[1]):
-        v = 0
-        for k in range(K - 1, -1, -1):
-            v = (v << bits) | int(flat[k, b])
-        out[b] = v
+    # vectorised big-int assembly: K object-array ops instead of a Python
+    # loop per element
+    out = np.zeros(flat.shape[1], dtype=object)
+    for k in range(K - 1, -1, -1):
+        out = (out << bits) | flat[k].astype(object)
     return out.reshape(digits.shape[1:])
 
 

@@ -78,7 +78,8 @@ def search_nonce_device(seed: bytes, grinding_factor: int,
             | (be[:, 7].astype(np.uint32) << 24)
         )
         digests = keccak.keccak256_words(jnp.asarray(words), 40)
-        d = np.asarray(digests)
+        from ...ops.limbs import device_to_np
+        d = device_to_np(digests)
         # leading 8 bytes big-endian: bytes 0..7 = words 0,1 little-endian
         hi = _bswap32(d[0])
         lo = _bswap32(d[1])

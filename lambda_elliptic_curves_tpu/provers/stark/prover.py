@@ -435,11 +435,19 @@ class Prover:
         return acc
 
     # ------------------------------------------------------------------
+    # (fd, backend type, poly shape, size, offset) -> jitted layer step
+    _fri_step_cache: dict = {}
+
     def _fri_commit(self, ext, domain, p0, transcript, backend):
         """FRI commit phase (``fri/mod.rs:22``): fold p' = 2*(even + z*odd),
         evaluate each layer over the squared-offset coset, commit pairs of
         bit-reversed evaluations.  All values live in the challenge field;
-        leaves are committed component-major (base-field columns)."""
+        leaves are committed component-major (base-field columns).
+
+        Each layer (fold + coset NTT + bit-reverse + pairing + leaf keccak)
+        runs as ONE jitted program with zeta as a runtime input — the
+        protocol's transcript sync per layer is then a root transfer, not a
+        dispatch storm."""
         f = ext.f
         num_layers = domain.root_order
         poly = p0
@@ -451,14 +459,11 @@ class Prover:
             zeta = ext.sample(transcript)
             offset = offset * offset % f.p
             size //= 2
-            poly = self._fold(ext, poly, zeta)
-            evals = ext.evaluate_offset_fft(poly, 1, size, offset)
-            evals_br = ntt.bit_reverse_permute(evals)
-            pairs = jnp.concatenate(
-                [ext.as_base_columns(evals_br[:, None, 0::2]),
-                 ext.as_base_columns(evals_br[:, None, 1::2])],
-                axis=1)  # (K, 2*D, size/2)
-            tree = MerkleTree.build(backend, pairs)
+            step = self._fri_layer_step(ext, backend, poly.shape, size,
+                                        offset)
+            zc = ext.fd.constant(ext.value_of(zeta), (1,))
+            poly, evals_br, leaf_words = step(poly, zc)
+            tree = MerkleTree.from_leaf_digests(backend, leaf_words)
             layers.append((evals_br, tree))
             roots.append(tree.root)
             transcript.append_bytes(tree.root)
@@ -468,15 +473,42 @@ class Prover:
         ext.append(transcript, ext.host(last_value))
         return roots, layers, last_value
 
+    def _fri_layer_step(self, ext, backend, poly_shape, size: int,
+                        offset: int):
+        key = (id(ext.fd), type(backend), poly_shape, size, offset)
+        fn = self._fri_step_cache.get(key)
+        if fn is not None:
+            return fn
+
+        def run(poly, zc):
+            folded = self._fold(ext, poly, zc)
+            evals = ext.evaluate_offset_fft(folded, 1, size, offset)
+            evals_br = ntt.bit_reverse_permute(evals)
+            pairs = jnp.concatenate(
+                [ext.as_base_columns(evals_br[:, None, 0::2]),
+                 ext.as_base_columns(evals_br[:, None, 1::2])],
+                axis=1)  # (K, 2*D, size/2)
+            return folded, evals_br, backend.hash_leaves(pairs)
+
+        import jax
+
+        fn = jax.jit(run)
+        self._fri_step_cache[key] = fn
+        return fn
+
     @staticmethod
     def _fold(ext, poly, zeta):
         """p' = 2 * (p_even + zeta * p_odd)  (``fri_functions.rs:7`` with the
-        factor 2 from ``fri/mod.rs:51``)."""
+        factor 2 from ``fri/mod.rs:51``).  ``zeta`` is either a host
+        FieldElement/value or a (D*K, 1) digit array (the jitted path)."""
         fd = ext.fd
         even = poly[..., 0::2]
         odd = poly[..., 1::2]
         m = even.shape[-1]
-        zc = fd.constant(ext.value_of(zeta), (m,))
+        if isinstance(zeta, jnp.ndarray):
+            zc = jnp.broadcast_to(zeta, even.shape)
+        else:
+            zc = fd.constant(ext.value_of(zeta), (m,))
         two = fd.constant(2, (m,))
         return fd.mul(two, fd.add(even, fd.mul(zc, odd)))
 
