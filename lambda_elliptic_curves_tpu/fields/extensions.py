@@ -193,118 +193,164 @@ class ExtensionField:
 
 
 # ---------------------------------------------------------------------------
-# device (batched) quadratic extension — flat digit layout
+# device (batched) extensions — flat digit layout
 # ---------------------------------------------------------------------------
 
-class DeviceQuadraticField:
-    """Batched quadratic extension E = B[u]/(u^2 - non_residue) over a
-    device base field B (a :class:`PrimeField` or, nested, another
-    ``DeviceQuadraticField`` — giving Fp4 towers).
+class _DeviceExtension:
+    """Shared layout machinery for flat-digit device extensions: an element
+    batch of a degree-d extension over base B is one (d*Kb, *batch) uint32
+    array, component 0's digits first.  Axis 0 stays "the digits", so any
+    consumer written against the ``PrimeField`` device API (Jacobian group
+    law, MSM pipelines, generic select/is_zero code) works unchanged."""
 
-    **Flat layout**: an element batch is a single ``(2*Kb, *batch)`` uint32
-    array — component 0's digits stacked on top of component 1's.  Because
-    the layout keeps axis 0 as "the digits" and everything else as batch,
-    every consumer written against the ``PrimeField`` device API (the
-    Jacobian group law, MSM bucket pipelines, select/is_zero generic code)
-    works unchanged over extension elements.
+    degree: int = 0
 
-    Parity: ``QuadraticExtensionField`` (``math/src/field/extensions/
-    quadratic.rs:12``) as a *data layout + kernel set* instead of a trait.
-    """
+    def split(self, a):
+        k = self.base.num_digits
+        return tuple(a[i * k:(i + 1) * k] for i in range(self.degree))
 
-    def __init__(self, base, non_residue, name=None):
-        self.base = base
-        # non_residue: int for prime base, tuple for nested base
-        if isinstance(base, DeviceQuadraticField):
-            self.non_residue = non_residue
-        else:
-            self.non_residue = int(non_residue) % base.p
-        self.name = name or f"{base.name}_x2"
-        self.p = base.p  # characteristic (prime of the bottom field)
+    @staticmethod
+    def join(*comps):
+        return jnp.concatenate(comps, axis=0)
 
     @property
     def num_digits(self):
-        return 2 * self.base.num_digits
+        return self.degree * self.base.num_digits
 
     @property
     def degree_over_prime(self):
-        return 2 * getattr(self.base, "degree_over_prime", 1)
-
-    # -- layout helpers -----------------------------------------------------
-    def split(self, a):
-        k = self.base.num_digits
-        return a[:k], a[k:]
-
-    @staticmethod
-    def join(c0, c1):
-        return jnp.concatenate([c0, c1], axis=0)
+        return self.degree * getattr(self.base, "degree_over_prime", 1)
 
     # -- host <-> device ----------------------------------------------------
     def _components(self, value):
-        """Normalize an int / tuple / FieldElement to a component pair."""
+        """Normalize an int / tuple / FieldElement to a component tuple."""
         if isinstance(value, FieldElement):
             value = value.value
-        if isinstance(value, tuple):
-            return value[0], value[1]
-        return value, 0 if not isinstance(self.base, DeviceQuadraticField) \
-            else self._zero_component()
+        if isinstance(value, tuple) and len(value) == self.degree:
+            return value
+        z = self._zero_component()
+        return (value,) + (z,) * (self.degree - 1)
 
     def _zero_component(self):
         b = self.base
-        if isinstance(b, DeviceQuadraticField):
-            z = b._zero_component()
-            return (z, z)
+        if isinstance(b, _DeviceExtension):
+            return b._components(0)
         return 0
 
     def array(self, values):
-        """List of tuples (recursively nested for towers) / ints /
-        host FieldElements -> (2*Kb, B) device array."""
-        pairs = [self._components(v) for v in values]
-        c0 = self.base.array([p[0] for p in pairs])
-        c1 = self.base.array([p[1] for p in pairs])
-        return self.join(c0, c1)
+        """List of (recursively nested) tuples / ints / host FieldElements
+        -> (d*Kb, B) device array."""
+        groups = [self._components(v) for v in values]
+        return self.join(*(self.base.array([g[i] for g in groups])
+                           for i in range(self.degree)))
 
     def to_tuples(self, arr):
         """Device array -> list of component tuples (ints at the leaves)."""
-        c0, c1 = self.split(arr)
-        if isinstance(self.base, DeviceQuadraticField):
-            lo = self.base.to_tuples(c0)
-            hi = self.base.to_tuples(c1)
+        comps = self.split(arr)
+        if isinstance(self.base, _DeviceExtension):
+            cols = [self.base.to_tuples(c) for c in comps]
         else:
-            lo = [int(v) for v in self.base.to_ints(c0).ravel()]
-            hi = [int(v) for v in self.base.to_ints(c1).ravel()]
-        return list(zip(lo, hi))
+            cols = [[int(v) for v in self.base.to_ints(c).ravel()]
+                    for c in comps]
+        return list(zip(*cols))
 
     def constant(self, value, batch_shape=()):
-        v0, v1 = self._components(value)
-        return self.join(self.base.constant(v0, batch_shape),
-                         self.base.constant(v1, batch_shape))
+        comps = self._components(value)
+        return self.join(*(self.base.constant(c, batch_shape)
+                           for c in comps))
 
     def zeros(self, batch_shape=()):
         return jnp.zeros((self.num_digits,) + tuple(batch_shape), jnp.uint32)
 
     def ones(self, batch_shape=()):
         return self.join(self.base.ones(batch_shape),
-                         self.base.zeros(batch_shape))
+                         *([self.base.zeros(batch_shape)]
+                           * (self.degree - 1)))
 
     def embed(self, base_arr):
         """Lift a base-field array (Kb, *batch) into the extension."""
-        return self.join(base_arr, jnp.zeros_like(base_arr))
+        pad = jnp.zeros(((self.degree - 1) * base_arr.shape[0],)
+                        + base_arr.shape[1:], base_arr.dtype)
+        return jnp.concatenate([base_arr, pad], axis=0)
 
-    # -- arithmetic ---------------------------------------------------------
+    # -- componentwise ops ----------------------------------------------------
     def add(self, a, b):
-        a0, a1 = self.split(a)
-        b0, b1 = self.split(b)
-        return self.join(self.base.add(a0, b0), self.base.add(a1, b1))
+        return self.join(*(self.base.add(x, y)
+                           for x, y in zip(self.split(a), self.split(b))))
 
     def sub(self, a, b):
-        a0, a1 = self.split(a)
-        b0, b1 = self.split(b)
-        return self.join(self.base.sub(a0, b0), self.base.sub(a1, b1))
+        return self.join(*(self.base.sub(x, y)
+                           for x, y in zip(self.split(a), self.split(b))))
 
     def neg(self, a):
-        a0, a1 = self.split(a)
-        return self.join(self.base.neg(a0), self.base.neg(a1))
+        return self.join(*(self.base.neg(x) for x in self.split(a)))
+
+    def square(self, a):
+        return self.mul(a, a)
+
+    def is_zero(self, a):
+        comps = self.split(a)
+        out = self.base.is_zero(comps[0])
+        for c in comps[1:]:
+            out = out & self.base.is_zero(c)
+        return out
+
+    def equal(self, a, b):
+        out = None
+        for x, y in zip(self.split(a), self.split(b)):
+            e = self.base.equal(x, y)
+            out = e if out is None else (out & e)
+        return out
+
+    def select(self, cond, a, b):
+        return self.join(*(self.base.select(cond, x, y)
+                           for x, y in zip(self.split(a), self.split(b))))
+
+    def pow(self, a, e: int):
+        batch = a.shape[1:]
+        e = int(e)
+        result = None
+        acc = a
+        while e:
+            if e & 1:
+                result = acc if result is None else self.mul(result, acc)
+            e >>= 1
+            if e:
+                acc = self.square(acc)
+        return self.ones(batch) if result is None else result
+
+    def _mul_res(self, v):
+        """Multiply a base-field value by this extension's non-residue."""
+        r = self.non_residue
+        f = self.base
+        if not isinstance(f, _DeviceExtension) and r == f.p - 1:
+            return f.neg(v)
+        if isinstance(f, DeviceCubicField) and r == f.generator_tuple():
+            return f.mul_by_gen(v)
+        return f.mul(f.constant(r, v.shape[1:]), v)
+
+
+class DeviceQuadraticField(_DeviceExtension):
+    """Batched quadratic extension E = B[u]/(u^2 - non_residue) over a
+    device base field B (a :class:`PrimeField`, another
+    ``DeviceQuadraticField`` — Fp4 towers — or a :class:`DeviceCubicField`,
+    giving the (2,3,2) pairing towers Fp12 = Fp6[w]/(w^2 - v)).
+
+    Parity: ``QuadraticExtensionField`` (``math/src/field/extensions/
+    quadratic.rs:12``) as a *data layout + kernel set* instead of a trait.
+    """
+
+    degree = 2
+
+    def __init__(self, base, non_residue, name=None):
+        self.base = base
+        # non_residue: int for prime base, tuple for nested base
+        if isinstance(base, _DeviceExtension):
+            self.non_residue = non_residue
+        else:
+            self.non_residue = int(non_residue) % base.p
+        self.name = name or f"{base.name}_x2"
+        self.p = base.p  # characteristic (prime of the bottom field)
 
     def mul(self, a, b):
         f = self.base
@@ -315,16 +361,6 @@ class DeviceQuadraticField:
         mid = f.mul(f.add(a0, a1), f.add(b0, b1))
         mid = f.sub(f.sub(mid, t0), t1)
         return self.join(f.add(t0, self._mul_res(t1)), mid)
-
-    def _mul_res(self, v):
-        r = self.non_residue
-        f = self.base
-        if not isinstance(f, DeviceQuadraticField) and r == f.p - 1:
-            return f.neg(v)
-        return f.mul(f.constant(r, v.shape[1:]), v)
-
-    def square(self, a):
-        return self.mul(a, a)
 
     def inv(self, a):
         f = self.base
@@ -340,30 +376,83 @@ class DeviceQuadraticField:
         ninv = f.batch_inverse(norm)
         return self.join(f.mul(a0, ninv), f.mul(f.neg(a1), ninv))
 
-    def is_zero(self, a):
+    def conjugate(self, a):
         a0, a1 = self.split(a)
-        return self.base.is_zero(a0) & self.base.is_zero(a1)
+        return self.join(a0, self.base.neg(a1))
 
-    def equal(self, a, b):
-        a0, a1 = self.split(a)
-        b0, b1 = self.split(b)
-        return self.base.equal(a0, b0) & self.base.equal(a1, b1)
 
-    def select(self, cond, a, b):
-        a0, a1 = self.split(a)
-        b0, b1 = self.split(b)
-        return self.join(self.base.select(cond, a0, b0),
-                         self.base.select(cond, a1, b1))
+class DeviceCubicField(_DeviceExtension):
+    """Batched cubic extension E = B[v]/(v^3 - non_residue) over a device
+    base field B — composes with :class:`DeviceQuadraticField` into the
+    pairing towers (Fp6 = Fp2[v]/(v^3 - xi)).
 
-    def pow(self, a, e: int):
-        batch = a.shape[1:]
-        e = int(e)
-        result = None
-        acc = a
-        while e:
-            if e & 1:
-                result = acc if result is None else self.mul(result, acc)
-            e >>= 1
-            if e:
-                acc = self.square(acc)
-        return self.ones(batch) if result is None else result
+    Parity: ``CubicExtensionField`` (``math/src/field/extensions/
+    cubic.rs:12``) and the concrete Fp6 modules
+    (``curves/bls12_381/field_extension.rs:23``).
+    """
+
+    degree = 3
+
+    def __init__(self, base, non_residue, name=None):
+        self.base = base
+        if isinstance(base, _DeviceExtension):
+            self.non_residue = non_residue
+        else:
+            self.non_residue = int(non_residue) % base.p
+        self.name = name or f"{base.name}_x3"
+        self.p = base.p
+
+    def generator_tuple(self):
+        """The element v of this field as a component tuple (for w^2 = v
+        tower detection in :meth:`_DeviceExtension._mul_res`)."""
+        if isinstance(self.base, _DeviceExtension):
+            return (self.base._components(0), self.base._components(1),
+                    self.base._components(0))
+        return (0, 1, 0)
+
+    def mul_by_gen(self, a):
+        """v * (c0 + c1 v + c2 v^2) = r*c2 + c0 v + c1 v^2  (the sparse
+        ``f6_mul_by_v`` of the host tower)."""
+        c0, c1, c2 = self.split(a)
+        return self.join(self._mul_res(c2), c0, c1)
+
+    def mul(self, a, b):
+        """Toom/Karatsuba-style 6-mul cubic product (CH-SQR3 form, same
+        formulas as the host ``ExtensionField.host_mul`` /
+        ``Tower.f6_mul``)."""
+        f = self.base
+        a0, a1, a2 = self.split(a)
+        b0, b1, b2 = self.split(b)
+        v0 = f.mul(a0, b0)
+        v1 = f.mul(a1, b1)
+        v2 = f.mul(a2, b2)
+        c0 = f.add(v0, self._mul_res(f.sub(f.sub(
+            f.mul(f.add(a1, a2), f.add(b1, b2)), v1), v2)))
+        c1 = f.add(f.sub(f.sub(
+            f.mul(f.add(a0, a1), f.add(b0, b1)), v0), v1),
+            self._mul_res(v2))
+        c2 = f.add(f.sub(f.sub(
+            f.mul(f.add(a0, a2), f.add(b0, b2)), v0), v2), v1)
+        return self.join(c0, c1, c2)
+
+    def inv(self, a):
+        f = self.base
+        a0, a1, a2 = self.split(a)
+        t0 = f.sub(f.mul(a0, a0), self._mul_res(f.mul(a1, a2)))
+        t1 = f.sub(self._mul_res(f.mul(a2, a2)), f.mul(a0, a1))
+        t2 = f.sub(f.mul(a1, a1), f.mul(a0, a2))
+        norm = f.add(f.mul(a0, t0),
+                     self._mul_res(f.add(f.mul(a2, t1), f.mul(a1, t2))))
+        ninv = f.inv(norm)
+        return self.join(f.mul(t0, ninv), f.mul(t1, ninv), f.mul(t2, ninv))
+
+    def batch_inverse(self, a):
+        f = self.base
+        a0, a1, a2 = self.split(a)
+        t0 = f.sub(f.mul(a0, a0), self._mul_res(f.mul(a1, a2)))
+        t1 = f.sub(self._mul_res(f.mul(a2, a2)), f.mul(a0, a1))
+        t2 = f.sub(f.mul(a1, a1), f.mul(a0, a2))
+        norm = f.add(f.mul(a0, t0),
+                     self._mul_res(f.add(f.mul(a2, t1), f.mul(a1, t2))))
+        ninv = f.batch_inverse(norm)
+        return self.join(f.mul(t0, ninv), f.mul(t1, ninv), f.mul(t2, ninv))

@@ -190,6 +190,14 @@ class Verifier:
 
         rev = _bitrev_fn(N)
 
+        # soundness: the proof must answer EVERY sampled query — a stripped
+        # query_list/deep_poly_openings must reject, not silently pass an
+        # empty loop (reference checks arity via iota zip in
+        # verifier.rs:318,477 over exactly n_queries entries)
+        if len(proof.query_list) != len(ch["iotas"]) or \
+                len(proof.deep_poly_openings) != len(ch["iotas"]):
+            return False
+
         for iota, decommit, opening in zip(ch["iotas"], proof.query_list,
                                            proof.deep_poly_openings):
             idx, idx_sym = 2 * iota, 2 * iota + 1
@@ -300,6 +308,22 @@ def _bitrev_fn(n):
 
 
 def verify(air_class, proof, pub_inputs, proof_options, transcript) -> bool:
-    """``IsStarkVerifier::verify`` parity wrapper."""
-    return Verifier(air_class).verify(proof, pub_inputs, proof_options,
-                                      transcript)
+    """``IsStarkVerifier::verify`` parity wrapper.
+
+    Robustness contract (the role of the reference's proof-deserializer
+    fuzz target, ``fuzz/no_gpu_fuzz/fuzz_targets/deserialize_stark_proof
+    .rs:1``): a structurally-malformed proof — wrong list arities, wrong
+    leaf types, absurd lengths — must *reject*, never crash the caller.
+    Structural exceptions therefore map to ``False``; genuine bugs are
+    still visible under ``LWT_STRICT_VERIFY=1``.
+    """
+    import os
+
+    try:
+        return Verifier(air_class).verify(proof, pub_inputs, proof_options,
+                                          transcript)
+    except (IndexError, KeyError, TypeError, ValueError, AttributeError,
+            ZeroDivisionError, OverflowError):
+        if os.environ.get("LWT_STRICT_VERIFY"):
+            raise
+        return False

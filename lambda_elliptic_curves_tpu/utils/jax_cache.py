@@ -14,18 +14,29 @@ import os
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
-    """Opt-in (LWT_JAX_CACHE=1): this jaxlib's CPU executable
-    serialization writes entries stamped with compile-time pseudo-features
+    """Default ON for accelerator backends, OFF for CPU (overridable with
+    LWT_JAX_CACHE=1/0).  This jaxlib's *CPU* executable serialization
+    writes entries stamped with compile-time pseudo-features
     (+prefer-no-scatter/-gather) that the loader's host-feature check
     rejects — usually a warning, but intermittently a hard abort inside
-    ``get_executable_and_time``.  Until that is fixed upstream the on-disk
-    cache defaults to OFF; in-process caching still applies.  When
-    enabled, the directory is keyed by an XLA-context hash so different
-    flag/backend contexts never share entries."""
+    ``get_executable_and_time`` — so the CPU backend keeps in-process
+    caching only.  TPU (axon) executables reload cleanly and cold
+    compiles through the 1-core host dominate bench wall time, so the
+    on-disk cache is the default there.  The directory is keyed by an
+    XLA-context hash so different flag/backend contexts never share
+    entries."""
     import jax
 
-    if os.environ.get("LWT_JAX_CACHE", "0") != "1":
+    env = os.environ.get("LWT_JAX_CACHE")
+    if env == "0":
         return
+    if env != "1":
+        try:
+            platform = jax.default_backend()
+        except Exception:
+            return
+        if platform == "cpu":
+            return
 
     base = path or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",

@@ -42,17 +42,38 @@ def _decode(obj):
 
     if isinstance(obj, dict):
         if "__bytes__" in obj:
+            if not isinstance(obj["__bytes__"], str):
+                raise ValueError("__bytes__ payload must be a hex string")
             return bytes.fromhex(obj["__bytes__"])
         if "__int__" in obj:
+            if not isinstance(obj["__int__"], str):
+                raise ValueError("__int__ payload must be a hex string")
             return int(obj["__int__"], 16)
         if "__merkle_proof__" in obj:
-            return MerkleProof(merkle_path=_decode(obj["__merkle_proof__"]))
+            path = _decode(obj["__merkle_proof__"])
+            if not isinstance(path, list) or \
+                    not all(isinstance(x, bytes) for x in path):
+                raise ValueError("merkle path must be a list of byte nodes")
+            return MerkleProof(merkle_path=path)
         if "__type__" in obj:
-            cls = getattr(stark_proof, obj["__type__"])
-            return cls(**{k: _decode(v) for k, v in obj["fields"].items()})
+            # allowlist: only the proof dataclasses are constructible from
+            # the wire — never arbitrary module attributes
+            name = obj["__type__"]
+            allowed = ("StarkProof", "PolynomialOpenings",
+                       "DeepPolynomialOpening", "FriDecommitment")
+            if name not in allowed:
+                raise ValueError(f"unknown proof type {name!r}")
+            cls = getattr(stark_proof, name)
+            fields = obj.get("fields")
+            if not isinstance(fields, dict):
+                raise ValueError("proof fields must be an object")
+            return cls(**{k: _decode(v) for k, v in fields.items()})
+        raise ValueError("unknown tagged object in proof stream")
     if isinstance(obj, list):
         return [_decode(v) for v in obj]
-    return obj
+    if obj is None or isinstance(obj, int):
+        return obj
+    raise ValueError(f"unexpected leaf of type {type(obj).__name__}")
 
 
 def serialize_proof(proof) -> bytes:
@@ -66,5 +87,6 @@ def deserialize_proof(data: bytes):
 
     try:
         return _decode(json.loads(data.decode()))
-    except (ValueError, KeyError, TypeError) as exc:
-        raise DeserializationError(str(exc)) from exc
+    except (ValueError, KeyError, TypeError, RecursionError,
+            UnicodeDecodeError) as exc:
+        raise DeserializationError(str(exc)[:500]) from exc
