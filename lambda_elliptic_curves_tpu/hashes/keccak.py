@@ -103,20 +103,35 @@ def keccak256(data: bytes) -> bytes:
 
 
 def _keccak256_py(data: bytes) -> bytes:
+    return sponge_host(data, RATE_BYTES, 0x01, DIGEST_BYTES)
+
+
+def sponge_host(data: bytes, rate: int, pad_byte: int, digest_bytes: int
+                ) -> bytes:
+    """Generic Keccak-family sponge: Keccak-256/512 (pad 0x01) and NIST
+    SHA3-256/512 (pad 0x06) differ only in rate and domain padding."""
     lanes = [0] * 25
-    # absorb
     padded = bytearray(data)
-    padded.append(0x01)
-    while len(padded) % RATE_BYTES:
+    padded.append(pad_byte)
+    while len(padded) % rate:
         padded.append(0x00)
     padded[-1] ^= 0x80
-    for block_start in range(0, len(padded), RATE_BYTES):
-        block = padded[block_start : block_start + RATE_BYTES]
-        for i in range(RATE_BYTES // 8):
+    for block_start in range(0, len(padded), rate):
+        block = padded[block_start : block_start + rate]
+        for i in range(rate // 8):
             lanes[i] ^= int.from_bytes(block[8 * i : 8 * i + 8], "little")
         lanes = _keccak_f_host(lanes)
-    out = b"".join(lane.to_bytes(8, "little") for lane in lanes[:4])
-    return out[:DIGEST_BYTES]
+    out = b"".join(
+        lane.to_bytes(8, "little")
+        for lane in lanes[: (digest_bytes + 7) // 8]
+    )
+    return out[:digest_bytes]
+
+
+def keccak512(data: bytes) -> bytes:
+    """Legacy Keccak-512 (rate 72, pad 0x01) — ``Keccak512Backend``
+    (``crypto/src/merkle_tree/backends/types.rs``)."""
+    return sponge_host(data, 72, 0x01, 64)
 
 
 # ---------------------------------------------------------------------------
@@ -191,10 +206,12 @@ def keccak_f(state):
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_keccak256_words(msg_bytes: int):
+def _jitted_sponge_words(msg_bytes: int, rate: int, pad_byte: int,
+                         digest_bytes: int):
     import jax
 
-    return jax.jit(lambda words: _keccak256_words_impl(words, msg_bytes))
+    return jax.jit(lambda words: _sponge_words_impl(
+        words, msg_bytes, rate, pad_byte, digest_bytes))
 
 
 def keccak256_words(words, msg_bytes: int):
@@ -204,32 +221,47 @@ def keccak256_words(words, msg_bytes: int):
     (W*4 >= msg_bytes; trailing bytes of the last word must be zero).
     Returns (8, *B) uint32 — the 32-byte digests as LE words.
     """
-    return _jitted_keccak256_words(int(msg_bytes))(words)
+    return _jitted_sponge_words(int(msg_bytes), RATE_BYTES, 0x01, 32)(words)
 
 
-def _keccak256_words_impl(words, msg_bytes: int):
+def sponge_words(words, msg_bytes: int, rate: int, pad_byte: int,
+                 digest_bytes: int):
+    """Batched generic Keccak-family sponge (keccak-256/512, sha3-256/512:
+    rate/padding vary, the permutation doesn't).  Same word layout contract
+    as :func:`keccak256_words`; returns (digest_bytes/4, *B) LE words."""
+    return _jitted_sponge_words(int(msg_bytes), int(rate), int(pad_byte),
+                                int(digest_bytes))(words)
+
+
+def _sponge_words_impl(words, msg_bytes: int, rate: int, pad_byte: int,
+                       digest_bytes: int):
     batch = words.shape[1:]
-    nblocks = msg_bytes // RATE_BYTES + 1
-    padded_words = nblocks * (RATE_BYTES // 4)
+    rate_words = rate // 4
+    rate_lanes = rate // 8
+    nblocks = msg_bytes // rate + 1
+    padded_words = nblocks * rate_words
     pad = jnp.zeros((padded_words - words.shape[0],) + batch, U32)
     full = jnp.concatenate([words[: msg_bytes // 4 + (1 if msg_bytes % 4 else 0)]
                             if words.shape[0] * 4 > msg_bytes else words,
                             pad], axis=0)[:padded_words]
-    # padding bytes: 0x01 after the message, 0x80 at the block end
-    full = full.at[msg_bytes // 4].add(U32(0x01) << U32(8 * (msg_bytes % 4)))
+    # padding bytes: domain byte after the message, 0x80 at the block end
+    full = full.at[msg_bytes // 4].add(
+        U32(pad_byte) << U32(8 * (msg_bytes % 4)))
     full = full.at[padded_words - 1].add(U32(0x80) << U32(24))
 
     state = jnp.zeros((25, 2) + tuple(batch), U32)
     for blk in range(nblocks):
-        block = full[blk * 34 : (blk + 1) * 34]  # 34 words = 136 bytes
+        block = full[blk * rate_words : (blk + 1) * rate_words]
         lanes = state
-        # xor message into the first 17 lanes
         upd = jnp.stack([
-            jnp.stack([block[2 * i], block[2 * i + 1]]) for i in range(17)
+            jnp.stack([block[2 * i], block[2 * i + 1]])
+            for i in range(rate_lanes)
         ])
-        lanes = lanes.at[:17].set(lanes[:17] ^ upd)
+        lanes = lanes.at[:rate_lanes].set(lanes[:rate_lanes] ^ upd)
         state = keccak_f(lanes)
-    return jnp.concatenate([state[i] for i in range(4)], axis=0)
+    return jnp.concatenate(
+        [state[i] for i in range((digest_bytes + 7) // 8)], axis=0
+    )[: digest_bytes // 4]
 
 
 def digest_words_to_bytes(words) -> list[bytes]:

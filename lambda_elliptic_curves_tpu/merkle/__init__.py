@@ -2,5 +2,6 @@
 
 from .tree import MerkleTree, Proof, MerkleBackend  # noqa: F401
 from .backends import (  # noqa: F401
+    DigestBatchBackend, DigestFieldBackend,
     PoseidonBackend, KeccakFieldBackend, KeccakBatchBackend,
 )

@@ -186,6 +186,114 @@ class KeccakFieldBackend(MerkleBackend):
         return keccak.keccak256(left + right)
 
 
+class _AlgoSpec:
+    """One digest algorithm: batched device words-hash + host bytes-hash."""
+
+    def __init__(self, name, digest_bytes, words_fn, host_fn):
+        self.name = name
+        self.digest_bytes = digest_bytes
+        self.words_fn = words_fn  # (words, msg_bytes) -> LE digest words
+        self.host_fn = host_fn    # bytes -> bytes
+
+
+def _algos():
+    import hashlib
+
+    from ..hashes import sha2
+
+    def sponge(rate, pad, nbytes):
+        return lambda w, m: keccak.sponge_words(w, m, rate, pad, nbytes)
+
+    return {
+        "keccak256": _AlgoSpec("keccak256", 32, sponge(136, 0x01, 32),
+                               keccak.keccak256),
+        "keccak512": _AlgoSpec("keccak512", 64, sponge(72, 0x01, 64),
+                               keccak.keccak512),
+        "sha3_256": _AlgoSpec("sha3_256", 32, sponge(136, 0x06, 32),
+                              lambda d: hashlib.sha3_256(d).digest()),
+        "sha3_512": _AlgoSpec("sha3_512", 64, sponge(72, 0x06, 64),
+                              lambda d: hashlib.sha3_512(d).digest()),
+        "sha2_256": _AlgoSpec("sha2_256", 32, sha2.sha256_words,
+                              lambda d: hashlib.sha256(d).digest()),
+        "sha2_512": _AlgoSpec("sha2_512", 64, sha2.sha512_words,
+                              lambda d: hashlib.sha512(d).digest()),
+    }
+
+
+class DigestFieldBackend(MerkleBackend):
+    """Digest-generic field-element backend — parity with the reference's
+    ``FieldElementBackend<F, D, NUM_BYTES>`` over any RustCrypto digest
+    (``backends/field_element.rs:15``) and the alias zoo in
+    ``backends/types.rs`` (Sha3-256/512, Keccak-256/512, Sha2-256/512).
+
+    Device nodes are (digest_bytes/4, B) uint32 little-endian words of the
+    digest byte stream; every algorithm hashes whole levels in one batched
+    device call (keccak-family via the shared sponge, SHA-2 via
+    :mod:`..hashes.sha2`).
+    """
+
+    def __init__(self, field: PrimeField, algo: str = "keccak256"):
+        self.field = field
+        self.algo = _algos()[algo]
+        self.cache_key = algo  # distinct jitted tree builders per digest
+
+    def hash_leaves(self, leaves):
+        wire = _to_wire_form(self.field, leaves)
+        words = _felt_to_le_words_be_bytes(self.field, wire)
+        return self.algo.words_fn(words, self.field.params.num_bytes)
+
+    def hash_parents(self, level):
+        left = level[:, 0::2]
+        right = level[:, 1::2]
+        words = jnp.concatenate([left, right], axis=0)
+        return self.algo.words_fn(words, 2 * self.algo.digest_bytes)
+
+    pad_to_power_of_two = KeccakFieldBackend.pad_to_power_of_two
+    count = KeccakFieldBackend.count
+    level_to_np = KeccakFieldBackend.level_to_np
+    node_from_np = KeccakFieldBackend.node_from_np
+
+    def to_host(self, nodes):
+        from ..ops.limbs import device_to_np
+
+        arr = np.ascontiguousarray(
+            device_to_np(nodes).astype("<u4").reshape(nodes.shape[0], -1).T)
+        nb = self.algo.digest_bytes
+        buf = arr.tobytes()
+        return [buf[nb * b: nb * (b + 1)] for b in range(arr.shape[0])]
+
+    def hash_leaf_host(self, value):
+        return self.algo.host_fn(self.field(value).as_bytes())
+
+    def hash_parent_host(self, left: bytes, right: bytes):
+        return self.algo.host_fn(left + right)
+
+
+class DigestBatchBackend(DigestFieldBackend):
+    """Digest-generic vector-of-FE backend: leaf = D(row of elements) —
+    parity with ``FieldElementVectorBackend`` (``field_element_vector.rs``)
+    and the Batch* aliases in ``backends/types.rs``."""
+
+    def hash_leaves(self, leaves):
+        K, ncols = leaves.shape[0], leaves.shape[1]
+        wire = _to_wire_form(
+            self.field, leaves.reshape(K, -1)
+        ).reshape(leaves.shape)
+        words = jnp.concatenate(
+            [
+                _felt_to_le_words_be_bytes(self.field, wire[:, c])
+                for c in range(ncols)
+            ],
+            axis=0,
+        )
+        return self.algo.words_fn(
+            words, self.field.params.num_bytes * ncols)
+
+    def hash_leaf_host(self, row):
+        data = b"".join(self.field(v).as_bytes() for v in row)
+        return self.algo.host_fn(data)
+
+
 class KeccakBatchBackend(KeccakFieldBackend):
     """Leaf = Keccak256 of a full row of elements (trace-row commitments,
     parity with ``BatchedMerkleTreeBackend``, ``field_element_vector.rs``)."""

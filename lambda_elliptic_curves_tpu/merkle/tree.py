@@ -95,6 +95,7 @@ def _device_levels(backend: MerkleBackend, hashed):
     fused into a single dispatch; the reference builds the same levels on
     CPU with rayon leaf hashing, ``crypto/src/merkle_tree/merkle.rs:33``)."""
     key = (type(backend), getattr(backend, "field", None),
+           getattr(backend, "cache_key", None),
            hashed.shape, str(hashed.dtype))
     fn = _device_build_cache.get(key)
     if fn is None:
