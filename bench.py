@@ -45,6 +45,16 @@ def _emit(row):
     print(json.dumps(row), flush=True)
 
 
+# global deadline (perf_counter value) set by main(); configs check it
+# before starting optional extra work so every config gets to emit at
+# least its primary row
+_deadline = [float("inf")]
+
+
+def _remaining() -> float:
+    return _deadline[0] - time.perf_counter()
+
+
 # ---------------------------------------------------------------------------
 # config 1 — Stark252 NTT interpolate (headline; BASELINE configs[0])
 # ---------------------------------------------------------------------------
@@ -52,23 +62,39 @@ def _emit(row):
 NTT_BASELINES_MS = {24: 4652.9, 23: 2340.1, 22: 1144.9, 21: 574.2}
 
 
-def _eval_at_bases(field, coeffs, bases):
-    """Evaluate poly given by (K, n) coeffs at each Montgomery-form base in
-    (K, m): powers by repeated doubling (log n widening muls), then a
-    modular dot.  One jit-compiled program shared across all engines and
-    check points."""
-    from lambda_elliptic_curves_tpu.poly.polynomial import field_sum
+_fold_fns: dict = {}
 
-    n = coeffs.shape[-1]
-    pws = field.constant(1, (bases.shape[-1], 1))  # (K, m, 1)
-    blk = bases[:, :, None]
-    while pws.shape[-1] < n:
-        top = field.mul(pws[..., -1:], blk)  # b^L for current length L
-        pws = jnp.concatenate([pws, field.mul(pws, top)], axis=-1)
-    pws = pws[..., :n]
-    prods = field.mul(
-        jnp.broadcast_to(coeffs[:, None, :], pws.shape), pws)
-    return field_sum(field, prods)  # (K, m)
+
+def _eval_at_points(field, coeffs, points):
+    """Evaluate the (K, n) coefficient array at each host-int point by
+    even/odd folding: p(x) = e(x^2) + x*o(x^2), log2(n) halving steps of
+    elementwise work (~2n muls total per point) — far cheaper to compile
+    and run than a powers matrix + modular dot at bench sizes.  Returns a
+    list of host ints."""
+    levels = coeffs.shape[-1].bit_length() - 1
+
+    def run(arr, xs):  # xs: (levels, K, 1) Montgomery digits, x^(2^i)
+        out = arr
+        for i in range(levels):
+            even = out[..., 0::2]
+            odd = out[..., 1::2]
+            out = field.add(even, field.mul(
+                jnp.broadcast_to(xs[i], odd.shape), odd))
+        return out[..., 0]
+
+    key = (field, coeffs.shape[-1])
+    fn = _fold_fns.get(key)  # ONE compile shared by all points and engines
+    if fn is None:
+        fn = _fold_fns[key] = jax.jit(run)
+    results = []
+    for pt in points:
+        sq, x = [], pt % field.p
+        for _ in range(levels):
+            sq.append(x)
+            x = x * x % field.p
+        xs = jnp.stack([field.constant(v, (1,)) for v in sq])
+        results.append(int(field.to_ints(fn(coeffs, xs))) % field.p)
+    return results
 
 
 def bench_ntt():
@@ -88,13 +114,11 @@ def bench_ntt():
 
     w = f.params.primitive_root_of_unity(log_n)
     check_js = (0, 1, n // 3)
-    bases = f.array([pow(w, j, f.p) for j in check_js])
-    eval_fn = jax.jit(lambda c, b: _eval_at_bases(f, c, b))
+    points = [pow(w, j, f.p) for j in check_js]
     want = [int(v) % f.p for v in f.to_ints(digits[..., list(check_js)])]
 
     def check(coeffs):
-        got = [int(v) % f.p for v in f.to_ints(eval_fn(coeffs, bases))]
-        return got == want
+        return _eval_at_points(f, coeffs, points) == want
 
     baseline = NTT_BASELINES_MS.get(log_n)
     rows = []
@@ -103,19 +127,24 @@ def bench_ntt():
         "mxu": jax.jit(lambda evals: ntt_mxu.ifft(evals, f)),
         "pallas": jax.jit(lambda evals: ntt_pallas.ifft(evals, f)),
     }
-    engines = os.environ.get("BENCH_NTT_ENGINES", "pease,mxu,pallas")
-    budget_s = float(os.environ.get("BENCH_NTT_BUDGET_S", "300"))
+    # fastest-known engine FIRST: its row is the headline and must exist
+    # whatever happens later
+    engines = os.environ.get("BENCH_NTT_ENGINES", "mxu,pallas,pease")
+    budget_s = float(os.environ.get("BENCH_NTT_BUDGET_S", "150"))
     t0 = time.perf_counter()
     for name in engines.split(","):
         fn = impls.get(name.strip())
         if fn is None:
             continue
         # the first (fastest-known) engine always runs; later engines are
-        # skipped once the per-config budget is spent so the headline row
-        # can never be starved by a slow secondary compile
-        if rows and time.perf_counter() - t0 > budget_s:
+        # skipped once the per-config budget is spent — checked against
+        # BOTH the config budget and the whole-suite deadline, and the
+        # deadline keeps a reserve so the other configs still get a turn
+        spent = time.perf_counter() - t0
+        if rows and (spent > budget_s or _remaining() < 300):
             _emit({"metric": f"ntt_{name}", "skipped": True,
-                   "reason": f"ntt budget {budget_s}s exceeded"})
+                   "reason": f"ntt budget: {spent:.0f}s spent, "
+                             f"{_remaining():.0f}s suite remaining"})
             continue
         try:
             ms, coeffs = _median_ms(fn, digits)
@@ -159,12 +188,10 @@ def bench_small_field():
     fwd = jax.jit(lambda c: ntt.fft(c, f))
     ms_ntt, evals = _median_ms(fwd, digits)
 
-    # oracle: evals[j] == poly(w^j) at 3 points (one jitted program)
+    # oracle: evals[j] == poly(w^j) at 3 points (one jitted fold program)
     w = f.params.primitive_root_of_unity(log_n)
     check_js = (1, 7, n // 5)
-    bases = f.array([pow(w, j, f.p) for j in check_js])
-    got = [int(v) % f.p for v in f.to_ints(
-        jax.jit(lambda c, b: _eval_at_bases(f, c, b))(digits, bases))]
+    got = _eval_at_points(f, digits, [pow(w, j, f.p) for j in check_js])
     want = [int(v) % f.p for v in f.to_ints(evals[..., list(check_js)])]
     ok = got == want
     row = {
@@ -217,7 +244,6 @@ def bench_msm():
     # by curves/__init__.py (package attr shadows the submodule); import the
     # callable directly.
     from lambda_elliptic_curves_tpu.curves.msm import msm_pippenger
-    from lambda_elliptic_curves_tpu.ops import limbs
 
     log_b = int(os.environ.get("BENCH_MSM_LOG", "18"))
     B = 1 << log_b
@@ -262,16 +288,15 @@ def bench_msm():
     run = jax.jit(lambda sd, pts: msm_pippenger(curve, sd, pts))
     ms, out = _median_ms(run, sd, pts)
 
-    # oracle: scalars s_i pair with point ((i mod base)+1)*G
-    class _T:
-        digit_bits = 16
-        digit_mask = 0xFFFF
-        num_digits = Ks
-        p = 1 << (16 * Ks)
-
-    sints = limbs.digits_to_ints_np(np.asarray(sd), _T)
-    total = sum(int(s) * ((i % base) + 1)
-                for i, s in enumerate(sints)) % order
+    # oracle: scalars s_i pair with point ((i mod base)+1)*G.  The weighted
+    # scalar sum folds per digit plane in uint64 (weights < 2^14, digits
+    # < 2^16, B = 2^18 terms: max 2^48 per dot — no overflow), so the
+    # expected point costs one host scalar-mul, not B big-int products.
+    weights = (np.arange(B, dtype=np.uint64) % base) + 1
+    planes = np.asarray(sd).astype(np.uint64)
+    total = sum(
+        int(np.dot(planes[d], weights)) << (16 * d) for d in range(Ks)
+    ) % order
     want = g * total
     got = ops.to_host(out)[0]
     return {
@@ -298,32 +323,46 @@ def bench_stark():
         FibonacciPublicInputs, fibonacci_air_for, fibonacci_trace,
     )
 
-    log_rows = int(os.environ.get("BENCH_STARK_LOG", "12"))
-    rows = 1 << log_rows
+    from lambda_elliptic_curves_tpu.provers.stark import prover as prover_mod
+
     field = Stark252
     air_cls = fibonacci_air_for(field)
-    trace = fibonacci_trace(field, [1, 1], rows)
     pub = FibonacciPublicInputs(a0=1, a1=1)
     options = ProofOptions(blowup_factor=4, fri_number_of_queries=32,
                            coset_offset=3, grinding_factor=0)
+    logs = [int(v) for v in
+            os.environ.get("BENCH_STARK_LOGS", "12,16").split(",")]
 
-    # one warmup prove (compiles), then timed proves
-    prove(air_cls, trace, pub, options, DefaultTranscript(field))
-    reps = int(os.environ.get("BENCH_STARK_REPS", "1"))
-    times = []
-    for _ in range(reps):
+    out = None
+    for i, log_rows in enumerate(logs):
+        if i > 0 and _remaining() < 240:  # larger sizes are optional
+            _emit({"metric": f"stark_fib_prove_2^{log_rows}",
+                   "skipped": True,
+                   "reason": f"{_remaining():.0f}s suite remaining"})
+            continue
+        rows = 1 << log_rows
+        trace = fibonacci_trace(field, [1, 1], rows)
+        # one warmup prove (compiles), then a timed prove with the
+        # per-phase breakdown attached (VERDICT r3 item 3)
+        prove(air_cls, trace, pub, options, DefaultTranscript(field))
         t0 = time.perf_counter()
         proof = prove(air_cls, trace, pub, options, DefaultTranscript(field))
-        times.append(time.perf_counter() - t0)
-    ms = sorted(times)[len(times) // 2] * 1000.0
-    ok = verify(air_cls, proof, pub, options, DefaultTranscript(field))
-    return {
-        "metric": f"stark_fib_prove_2^{log_rows}",
-        "value": round(ms, 1),
-        "unit": "ms",
-        "vs_baseline": None,
-        "check": "ok" if ok else "FAIL",
-    }
+        ms = (time.perf_counter() - t0) * 1000.0
+        ok = verify(air_cls, proof, pub, options, DefaultTranscript(field))
+        row = {
+            "metric": f"stark_fib_prove_2^{log_rows}",
+            "value": round(ms, 1),
+            "unit": "ms",
+            "vs_baseline": None,
+            "check": "ok" if ok else "FAIL",
+            "phases_ms": {k: round(v * 1000.0, 1)
+                          for k, v in prover_mod.last_timings.items()},
+        }
+        if out is None:
+            out = row
+        else:
+            _emit(row)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -492,40 +531,60 @@ def main():
     # reference baseline) runs FIRST so a timeout can never starve it; its
     # row is re-emitted as the final line for the driver's last-line parse.
     wanted = os.environ.get(
-        "BENCH_CONFIGS", "ntt,small,msm,stark,groth16,pairing,micro"
+        "BENCH_CONFIGS", "ntt,stark,msm,small,groth16,pairing,micro"
     ).split(",")
+    # (fn, minimum seconds a cold run of the config's PRIMARY row needs —
+    # a config is only skipped when less than this remains, so every
+    # config emits a number unless the suite is genuinely out of time)
     configs = {
-        "ntt": bench_ntt,
-        "small": bench_small_field,
-        "msm": bench_msm,
-        "stark": bench_stark,
-        "groth16": bench_groth16,
-        "pairing": bench_pairing,
-        "micro": bench_micro,
+        "ntt": (bench_ntt, 0),       # headline: always runs
+        "stark": (bench_stark, 120),
+        "msm": (bench_msm, 90),
+        "small": (bench_small_field, 60),
+        "groth16": (bench_groth16, 45),
+        "pairing": (bench_pairing, 30),
+        "micro": (bench_micro, 45),
     }
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    # r3 data point: the driver's outer timeout did NOT fire at 760s
+    # (rc=0), so 720s of scheduled work + emission overhead is safe
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "720"))
     t_start = time.perf_counter()
+    _deadline[0] = t_start + budget_s
+    cache_dir = getattr(jax.config, "jax_compilation_cache_dir", None)
+    try:
+        n_cached = len(os.listdir(cache_dir)) if cache_dir else -1
+    except OSError:
+        n_cached = -1
+    _emit({"metric": "bench_env", "platform": jax.default_backend(),
+           "budget_s": budget_s, "cache_entries": n_cached})
     results = []
     headline = None
     for name in wanted:
-        fn = configs.get(name.strip())
+        fn, min_s = configs.get(name.strip(), (None, 0))
         if fn is None:
             continue
-        elapsed = time.perf_counter() - t_start
-        if headline is not None and elapsed > budget_s:
+        if headline is not None and _remaining() < min_s:
             row = {"metric": name.strip(), "skipped": True,
-                   "reason": f"budget {budget_s}s exceeded ({elapsed:.0f}s)"}
+                   "reason": f"{_remaining():.0f}s left < {min_s}s min"}
             results.append(row)
             _emit(row)
             continue
+        t_cfg = time.perf_counter()
         try:
             row = fn()
         except Exception as e:  # noqa: BLE001 — a broken config must not
             row = {"metric": name, "error": repr(e)[:300]}  # kill the rest
+        row["config_wall_s"] = round(time.perf_counter() - t_cfg, 1)
         results.append(row)
         _emit(row)
         if name.strip() == "ntt":
             headline = row
+    try:
+        n_after = len(os.listdir(cache_dir)) if cache_dir else -1
+    except OSError:
+        n_after = -1
+    _emit({"metric": "bench_env_end", "cache_entries": n_after,
+           "total_wall_s": round(time.perf_counter() - t_start, 1)})
     try:
         with open("bench_results.json", "w") as fh:
             json.dump(results, fh, indent=1)

@@ -240,10 +240,13 @@ def _sponge_words_impl(words, msg_bytes: int, rate: int, pad_byte: int,
     rate_lanes = rate // 8
     nblocks = msg_bytes // rate + 1
     padded_words = nblocks * rate_words
-    pad = jnp.zeros((padded_words - words.shape[0],) + batch, U32)
-    full = jnp.concatenate([words[: msg_bytes // 4 + (1 if msg_bytes % 4 else 0)]
-                            if words.shape[0] * 4 > msg_bytes else words,
-                            pad], axis=0)[:padded_words]
+    # size the zero-pad from the *message* word count, not the caller's
+    # array: extra trailing words (allowed by the contract as long as the
+    # message bytes are exact) must not shrink the pad
+    msg_words = msg_bytes // 4 + (1 if msg_bytes % 4 else 0)
+    msg = words[:msg_words]
+    pad = jnp.zeros((padded_words - msg_words,) + batch, U32)
+    full = jnp.concatenate([msg, pad], axis=0)
     # padding bytes: domain byte after the message, 0x80 at the block end
     full = full.at[msg_bytes // 4].add(
         U32(pad_byte) << U32(8 * (msg_bytes % 4)))

@@ -268,6 +268,14 @@ class DigestFieldBackend(MerkleBackend):
     def hash_parent_host(self, left: bytes, right: bytes):
         return self.algo.host_fn(left + right)
 
+    def build_parents_host(self, hashed_leaves):
+        """keccak256 trees reuse the native C parent-level fast path (same
+        digest layout as :class:`KeccakFieldBackend`); other digests build
+        parents on device."""
+        if self.algo.name != "keccak256":
+            return None
+        return KeccakFieldBackend.build_parents_host(self, hashed_leaves)
+
 
 class DigestBatchBackend(DigestFieldBackend):
     """Digest-generic vector-of-FE backend: leaf = D(row of elements) —

@@ -87,26 +87,35 @@ class LazyLevel:
         return self._backend.node_from_np(self._mat(), i)
 
 
-_device_build_cache: dict = {}
+_parent_fn_cache: dict = {}
+
+
+def _parent_step(backend: MerkleBackend):
+    """One jitted parent-hash program per backend config.  jax.jit caches
+    per input shape internally, so every tree SHARES the per-level
+    executables: a 2^16 tree and the 2^15 FRI-layer tree reuse all common
+    level shapes instead of each compiling a fused whole-tree program
+    (which unrolls log2(n) permutations into one module and compiles for
+    minutes at 2^16 — the round-3 regression)."""
+    key = (type(backend), getattr(backend, "field", None),
+           getattr(backend, "cache_key", None))
+    fn = _parent_fn_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda lv, _b=backend: _b.hash_parents(lv))
+        _parent_fn_cache[key] = fn
+    return fn
 
 
 def _device_levels(backend: MerkleBackend, hashed):
-    """All parent levels in ONE jitted device program (log2(n) hash calls
-    fused into a single dispatch; the reference builds the same levels on
-    CPU with rayon leaf hashing, ``crypto/src/merkle_tree/merkle.rs:33``)."""
-    key = (type(backend), getattr(backend, "field", None),
-           getattr(backend, "cache_key", None),
-           hashed.shape, str(hashed.dtype))
-    fn = _device_build_cache.get(key)
-    if fn is None:
-        def run(lv):
-            levels = [lv]
-            while backend.count(levels[-1]) > 1:
-                levels.append(backend.hash_parents(levels[-1]))
-            return levels
-        fn = jax.jit(run)
-        _device_build_cache[key] = fn
-    return fn(hashed)
+    """All parent levels as log2(n) batched device hash calls (the
+    reference builds the same levels on CPU with rayon leaf hashing,
+    ``crypto/src/merkle_tree/merkle.rs:33``); each level is one dispatch
+    of the shared per-shape parent program."""
+    step = _parent_step(backend)
+    levels = [hashed]
+    while backend.count(levels[-1]) > 1:
+        levels.append(step(levels[-1]))
+    return levels
 
 
 class MerkleTree:

@@ -15,6 +15,13 @@ collective.  Output is in "transposed" order: out[k2*N1 + k1] = C[k1, k2];
 
 Index math: X[k2*N1 + k1] = sum_{j2} w_{N2}^{j2 k2} [ w_N^{j2 k1} *
 sum_{j1} w_{N1}^{j1 k1} x[j1*N2 + j2] ].
+
+Inputs may carry arbitrary batch dims between the digit axis and the
+transform axis — ``(K, N)`` or ``(K, C, N)`` — so e.g. all trace columns of
+a STARK round-1 ride ONE compiled program.  Compiled shard_map programs are
+memoized per (field, size, root, mesh, axes, rank): repeated calls (other
+columns, the inverse pass of a convolution, every dryrun/test invocation)
+reuse the executable instead of re-jitting a fresh closure each time.
 """
 
 from __future__ import annotations
@@ -55,50 +62,90 @@ def _pow_traced_exponent(field: PrimeField, base_int: int, exponent,
     return acc
 
 
-def sharded_ntt(field: PrimeField, coeffs, mesh: Mesh, axis_name: str = "x",
-                ordering: str = "transposed", inverse: bool = False):
-    """Distributed NTT of ``coeffs`` (K, N) over the mesh axis.
-
-    Returns evaluations; ``ordering="transposed"`` leaves them in
-    (k1-major) order — the cheap choice when chaining with pointwise ops
-    and an inverse transform — while ``"natural"`` adds a final reshard.
-    """
-    D = mesh.shape[axis_name]
-    K, N = coeffs.shape[0], coeffs.shape[-1]
-    # choose N1 >= D, N2 >= D, both powers of two
+def _split(N: int, D: int):
+    """Choose the N1*N2 factorisation for a D-way mesh (both divisible
+    by D), or raise."""
     log_n = N.bit_length() - 1
     log_n1 = max(log_n // 2, D.bit_length() - 1)
     N1 = 1 << log_n1
     N2 = N // N1
-    if N1 % D or N2 % D:
+    if N1 % D or N2 <= 0 or N2 % D:
         raise ValueError(f"N1={N1}, N2={N2} must be divisible by D={D}")
+    return N1, N2
 
-    w = field.params.primitive_root_of_unity(log_n)
-    if inverse:
-        w = pow(w, field.p - 2, field.p)
 
-    def exchange(b):
-        return jax.lax.all_to_all(b, axis_name, split_axis=1, concat_axis=2,
-                                  tiled=True)  # (K, N1/D, N2)
+def splittable(N: int, D: int) -> bool:
+    try:
+        _split(N, D)
+        return True
+    except ValueError:
+        return False
 
-    def dev_index():
-        return jax.lax.axis_index(axis_name)
+
+@functools.lru_cache(maxsize=None)
+def _compiled_four_step(field, N1, N2, w, mesh, axes, rank):
+    """One jitted shard_map program for the four-step NTT.
+
+    ``axes`` is a 1-tuple (flat transpose) or a ``(dcn, ici)`` 2-tuple
+    (factored transpose: ICI leg first, then DCN — each element moves over
+    DCN exactly once, in large contiguous messages).  ``rank`` is the full
+    input rank including the digit axis and the (N1, N2) matrix axes, so
+    batch dims are ``rank - 3``.
+    """
+    if len(axes) == 1:
+        (ax,) = axes
+
+        def exchange(b):
+            return jax.lax.all_to_all(
+                b, ax, split_axis=rank - 2, concat_axis=rank - 1, tiled=True)
+
+        def dev_index():
+            return jax.lax.axis_index(ax)
+
+        in_spec = P(*([None] * (rank - 1)), ax)
+        out_spec = P(*([None] * (rank - 2)), ax, None)
+    else:
+        dcn, ici = axes
+        C = mesh.shape[ici]
+
+        def exchange(b):
+            b = jax.lax.all_to_all(
+                b, ici, split_axis=rank - 2, concat_axis=rank - 1, tiled=True)
+            return jax.lax.all_to_all(
+                b, dcn, split_axis=rank - 2, concat_axis=rank - 1, tiled=True)
+
+        def dev_index():
+            return jax.lax.axis_index(dcn) * C + jax.lax.axis_index(ici)
+
+        in_spec = P(*([None] * (rank - 1)), axes)
+        # after the factored exchange device (h, c) owns k1 block c*H + h:
+        # the k1 axis comes out sharded ici-major
+        out_spec = P(*([None] * (rank - 2)), (ici, dcn), None)
 
     local = functools.partial(_local_four_step, field, N1, N2, w,
                               dev_index, exchange)
-    mat = coeffs.reshape(K, N1, N2)
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_spec,
+                                 out_specs=out_spec))
 
-    out = jax.jit(
-        jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=P(None, None, axis_name),
-            out_specs=P(None, axis_name, None),
-        )
-    )(mat)
-    # out[k1, k2] sharded over k1; element (k1, k2) is X[k2*N1 + k1]
+
+def _run_four_step(field, coeffs, mesh, axes, ordering, inverse):
+    K, N = coeffs.shape[0], coeffs.shape[-1]
+    batch = coeffs.shape[1:-1]
+    D = 1
+    for a in (axes if isinstance(axes, tuple) else (axes,)):
+        D *= mesh.shape[a]
+    N1, N2 = _split(N, D)
+
+    w = field.params.primitive_root_of_unity(N.bit_length() - 1)
+    if inverse:
+        w = pow(w, field.p - 2, field.p)
+
+    mat = coeffs.reshape((K,) + batch + (N1, N2))
+    fn = _compiled_four_step(field, N1, N2, w, mesh, tuple(axes), mat.ndim)
+    out = fn(mat)
+    # out[..., k1, k2] sharded over k1; element (k1, k2) is X[k2*N1 + k1]
     if ordering == "natural":
-        out = out.transpose(0, 2, 1).reshape(K, N)  # (k2, k1) row-major
+        out = jnp.swapaxes(out, -1, -2).reshape((K,) + batch + (N,))
     if inverse:
         n_inv = field.constant(pow(N, field.p - 2, field.p), ())
         out = field.mul(out, jnp.broadcast_to(
@@ -106,38 +153,16 @@ def sharded_ntt(field: PrimeField, coeffs, mesh: Mesh, axis_name: str = "x",
     return out
 
 
-def _local_four_step(field, N1, N2, w, dev_index, exchange, block):
-    """Per-device body: block is (K, N1, N2/D).  ``dev_index`` returns the
-    device's flat position on the sharded j2 axis; ``exchange`` is the
-    transpose collective (one flat all_to_all, or the factored ICI+DCN
-    pair of :func:`sharded_ntt_2d`)."""
-    K = block.shape[0]
-    n2_loc = block.shape[-1]
-    # step 1: length-N1 NTTs along axis 1 (batch = local j2 columns),
-    # using the induced root w^N2 of order N1
-    cols = jnp.moveaxis(block, 1, 2)  # (K, n2_loc, N1)
-    cols = _fft_with_root(field, cols, pow(w, N2, field.p))
-    a = jnp.moveaxis(cols, 2, 1)  # (K, N1, n2_loc), A[k1, j2]
+def sharded_ntt(field: PrimeField, coeffs, mesh: Mesh, axis_name: str = "x",
+                ordering: str = "transposed", inverse: bool = False):
+    """Distributed NTT of ``coeffs`` (K, ..., N) over the mesh axis.
 
-    # step 2: twiddles w^(k1 * j2_global)
-    me = dev_index()
-    dev_off = me.astype(jnp.uint32) * jnp.uint32(n2_loc)
-    base = _pow_traced_exponent(field, w, dev_off, (N1 * N2).bit_length())
-    # w^(k1 * j2) = (w^(k1))^(j2); build local matrix by doubling over j2:
-    # T[:, :, j] = (w^k1)^(dev_off + j) = (w^dev_off)^k1 * (w^k1)^j
-    p_k1 = ntt.powers(field, w, N1)  # (K, N1): w^k1
-    t = _powers_matrix(field, p_k1, n2_loc)  # (K, N1, n2_loc): (w^k1)^j
-    # base_k1 = (w^k1)^dev_off = (w^dev_off)^k1
-    base_k1 = _powers_from_device_base(field, base, N1)  # (K, N1)
-    t = field.mul(t, base_k1[..., None])
-    b = field.mul(a, t)
-
-    # step 3: transpose — shard k1, gather full rows j2
-    b = exchange(b)  # (K, N1/D, N2)
-
-    # step 4: length-N2 NTTs along the last axis
-    c = _fft_with_root(field, b, pow(w, N1, field.p))
-    return c  # (K, N1/D, N2) = C[k1, k2]
+    Returns evaluations; ``ordering="transposed"`` leaves them in
+    (k1-major) order — the cheap choice when chaining with pointwise ops
+    and an inverse transform — while ``"natural"`` adds a final reshard.
+    """
+    return _run_four_step(field, coeffs, mesh, (axis_name,), ordering,
+                          inverse)
 
 
 def sharded_ntt_2d(field: PrimeField, coeffs, mesh: Mesh,
@@ -157,52 +182,44 @@ def sharded_ntt_2d(field: PrimeField, coeffs, mesh: Mesh,
     comes out sharded **ici-major** — the out_specs declare exactly that,
     so downstream consumers see an ordinary sharded array.
     """
-    dcn, ici = axis_names
-    H, C = mesh.shape[dcn], mesh.shape[ici]
-    D = H * C
-    K, N = coeffs.shape[0], coeffs.shape[-1]
-    log_n = N.bit_length() - 1
-    log_n1 = max(log_n // 2, D.bit_length() - 1)
-    N1 = 1 << log_n1
-    N2 = N // N1
-    if N1 % D or N2 % D:
-        raise ValueError(f"N1={N1}, N2={N2} must be divisible by D={D}")
+    return _run_four_step(field, coeffs, mesh, tuple(axis_names), ordering,
+                          inverse)
 
-    w = field.params.primitive_root_of_unity(log_n)
-    if inverse:
-        w = pow(w, field.p - 2, field.p)
 
-    def exchange(b):
-        # factored transpose: ICI leg (intra-host), then DCN leg
-        b = jax.lax.all_to_all(b, ici, split_axis=1, concat_axis=2,
-                               tiled=True)   # (K, N1/C, n2_loc*C)
-        return jax.lax.all_to_all(b, dcn, split_axis=1, concat_axis=2,
-                                  tiled=True)  # (K, N1/D, N2)
+def _local_four_step(field, N1, N2, w, dev_index, exchange, block):
+    """Per-device body: block is (K, ..., N1, N2/D).  ``dev_index`` returns
+    the device's flat position on the sharded j2 axis; ``exchange`` is the
+    transpose collective (one flat all_to_all, or the factored ICI+DCN
+    pair of :func:`sharded_ntt_2d`)."""
+    K = block.shape[0]
+    n_batch = block.ndim - 3
+    n2_loc = block.shape[-1]
+    # step 1: length-N1 NTTs along the N1 axis (batch = local j2 columns),
+    # using the induced root w^N2 of order N1
+    cols = jnp.swapaxes(block, -2, -1)  # (K, ..., n2_loc, N1)
+    cols = _fft_with_root(field, cols, pow(w, N2, field.p))
+    a = jnp.swapaxes(cols, -1, -2)  # (K, ..., N1, n2_loc), A[k1, j2]
 
-    def dev_index():
-        me_h = jax.lax.axis_index(dcn)
-        me_c = jax.lax.axis_index(ici)
-        return me_h * C + me_c
+    # step 2: twiddles w^(k1 * j2_global)
+    me = dev_index()
+    dev_off = me.astype(jnp.uint32) * jnp.uint32(n2_loc)
+    base = _pow_traced_exponent(field, w, dev_off, (N1 * N2).bit_length())
+    # w^(k1 * j2) = (w^(k1))^(j2); build local matrix by doubling over j2:
+    # T[:, :, j] = (w^k1)^(dev_off + j) = (w^dev_off)^k1 * (w^k1)^j
+    p_k1 = ntt.powers(field, w, N1)  # (K, N1): w^k1
+    t = _powers_matrix(field, p_k1, n2_loc)  # (K, N1, n2_loc): (w^k1)^j
+    # base_k1 = (w^k1)^dev_off = (w^dev_off)^k1
+    base_k1 = _powers_from_device_base(field, base, N1)  # (K, N1)
+    t = field.mul(t, base_k1[..., None])
+    t = t.reshape((K,) + (1,) * n_batch + (N1, n2_loc))
+    b = field.mul(a, jnp.broadcast_to(t, a.shape))
 
-    local = functools.partial(_local_four_step, field, N1, N2, w,
-                              dev_index, exchange)
-    mat = coeffs.reshape(K, N1, N2)
+    # step 3: transpose — shard k1, gather full rows j2
+    b = exchange(b)  # (K, ..., N1/D, N2)
 
-    out = jax.jit(
-        jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=P(None, None, axis_names),
-            out_specs=P(None, (ici, dcn), None),
-        )
-    )(mat)
-    if ordering == "natural":
-        out = out.transpose(0, 2, 1).reshape(K, N)
-    if inverse:
-        n_inv = field.constant(pow(N, field.p - 2, field.p), ())
-        out = field.mul(out, jnp.broadcast_to(
-            n_inv.reshape((K,) + (1,) * (out.ndim - 1)), out.shape))
-    return out
+    # step 4: length-N2 NTTs along the last axis
+    c = _fft_with_root(field, b, pow(w, N1, field.p))
+    return c  # (K, ..., N1/D, N2) = C[k1, k2]
 
 
 def _powers_matrix(field, bases, count):

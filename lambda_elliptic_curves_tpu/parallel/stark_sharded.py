@@ -11,6 +11,11 @@ reduction are written as global-array ops with a sharding constraint on
 the leaf axis, letting XLA's SPMD partitioner place the (tiny) top-of-tree
 collectives.
 
+All C trace columns ride ONE compiled sharded transform per stage (the
+batch dim support of :func:`.ntt_sharded.sharded_ntt`), and the commit
+program is memoized per (field, shape, mesh) — so repeated round-1 calls
+(tests, the driver dryrun, every prove) reuse executables.
+
 The committed root is bit-for-bit the single-device
 ``MerkleTree.build(KeccakBatchBackend(f), lde_br)`` root, so proofs opened
 against it verify with the unchanged verifier.
@@ -18,13 +23,15 @@ against it verify with the unchanged verifier.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..merkle.backends import KeccakBatchBackend
 from ..poly import ntt
-from .ntt_sharded import sharded_ntt
+from .ntt_sharded import sharded_ntt, splittable
 
 
 def sharded_trace_lde(field, trace_cols, mesh: Mesh, blowup: int = 4,
@@ -39,20 +46,12 @@ def sharded_trace_lde(field, trace_cols, mesh: Mesh, blowup: int = 4,
     N = n * blowup
     D = mesh.shape[axis_name]
 
-    def _splittable(size: int) -> bool:
-        log = size.bit_length() - 1
-        n1 = 1 << max(log // 2, D.bit_length() - 1)
-        n2 = size // n1
-        return n1 % D == 0 and n2 > 0 and n2 % D == 0
-
-    # interpolate each column: inverse sharded NTT (C is small: loop);
+    # interpolate all columns in one batched sharded inverse NTT;
     # transforms too small for the D-way four-step run locally — the
     # sharded commit below still spreads the leaf hashing
-    if _splittable(n):
-        tpolys = jnp.stack(
-            [sharded_ntt(field, trace_cols[:, c], mesh, axis_name,
-                         ordering="natural", inverse=True)
-             for c in range(C)], axis=1)  # (K, C, n)
+    if splittable(n, D):
+        tpolys = sharded_ntt(field, trace_cols, mesh, axis_name,
+                             ordering="natural", inverse=True)
     else:
         tpolys = ntt.interpolate_fft(field, trace_cols)
 
@@ -61,42 +60,47 @@ def sharded_trace_lde(field, trace_cols, mesh: Mesh, blowup: int = 4,
     scaled = field.mul(tpolys, jnp.broadcast_to(offs[:, None], tpolys.shape))
     padded = jnp.concatenate(
         [scaled, jnp.zeros((K, C, N - n), jnp.uint32)], axis=-1)
-    if _splittable(N):
-        lde = jnp.stack(
-            [sharded_ntt(field, padded[:, c], mesh, axis_name,
-                         ordering="natural")
-             for c in range(C)], axis=1)  # (K, C, N)
+    if splittable(N, D):
+        lde = sharded_ntt(field, padded, mesh, axis_name, ordering="natural")
     else:
         root = field.params.primitive_root_of_unity(N.bit_length() - 1)
         lde = ntt.fft_with_root(padded, field, root)
     return ntt.bit_reverse_permute(lde)
 
 
+@functools.lru_cache(maxsize=None)
+def _compiled_leaf_hash(field, mesh, axis_name):
+    backend = KeccakBatchBackend(field)
+    leaf_spec = NamedSharding(mesh, P(None, axis_name))
+
+    @jax.jit
+    def _leaves(arr):
+        arr = jax.lax.with_sharding_constraint(
+            arr, NamedSharding(mesh, P(None, None, axis_name)))
+        nodes = backend.hash_leaves(arr)  # (8 words, N)
+        return jax.lax.with_sharding_constraint(nodes, leaf_spec)
+
+    return _leaves
+
+
 def sharded_commit(field, lde_br, mesh: Mesh, axis_name: str = "x"):
     """Batched-row Keccak Merkle commitment of (K, C, N) bit-reversed LDE
     columns, leaf axis sharded over the mesh.  Returns
     ``(root_bytes, levels)`` with the same root as the single-device
-    ``MerkleTree.build``."""
+    ``MerkleTree.build``.
+
+    Leaf hashing — the O(N) bulk — runs as one sharded device program;
+    the parent levels reuse the single-device tree builder (native-C host
+    keccak when available, per-level cached device programs otherwise),
+    exactly like ``MerkleTree.build`` — fusing log2(N) keccak levels into
+    the sharded program compiled for minutes on 1-core rigs for no
+    runtime win (the tree top is protocol-sized, not bulk)."""
+    from ..merkle import MerkleTree
+
     backend = KeccakBatchBackend(field)
-    spec = NamedSharding(mesh, P(None, None, axis_name))
-    lde_br = jax.lax.with_sharding_constraint(lde_br, spec)
-
-    leaf_spec = NamedSharding(mesh, P(None, axis_name))
-
-    @jax.jit
-    def _tree(arr):
-        nodes = backend.hash_leaves(arr)  # (8 words, N)
-        nodes = jax.lax.with_sharding_constraint(nodes, leaf_spec)
-        levels = [nodes]
-        while nodes.shape[-1] > 1:
-            nodes = backend.hash_parents(nodes)
-            levels.append(nodes)
-        return levels
-
-    levels = _tree(lde_br)
-    root_words = jax.device_get(levels[-1][:, 0])
-    root = b"".join(int(w).to_bytes(4, "little") for w in root_words)
-    return root, levels
+    hashed = _compiled_leaf_hash(field, mesh, axis_name)(lde_br)
+    tree = MerkleTree.from_leaf_digests(backend, hashed)
+    return tree.root, tree.levels
 
 
 def sharded_round1(field, trace_cols, mesh: Mesh, blowup: int = 4,

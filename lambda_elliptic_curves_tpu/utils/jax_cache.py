@@ -1,36 +1,46 @@
 """Persistent XLA compilation cache.
 
 The digit-vector kernels trade tiny runtime graphs for trace-time
-unrolling, so cold-start compiles dominate short runs (especially on the
-1-core test hosts).  Enabling JAX's on-disk executable cache makes every
-compile a once-per-machine cost.  Called from ``tests/conftest.py`` and
-``bench.py``; safe to call multiple times.
+unrolling, so cold-start compiles dominate short runs — and in the axon
+environment compilation is offloaded to a remote service
+(``PALLAS_AXON_REMOTE_COMPILE=1``) whose latency varies by minutes run to
+run, for BOTH the TPU and the forced-CPU platforms.  Enabling JAX's
+on-disk executable cache makes every compile a once-per-machine cost and
+removes that variance.  Called from ``tests/conftest.py``, ``bench.py``
+and ``__graft_entry__.dryrun_multichip``; safe to call multiple times.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 
-def enable_compilation_cache(path: str | None = None) -> None:
-    """Default ON for accelerator backends, OFF for CPU (overridable with
-    LWT_JAX_CACHE=1/0).  This jaxlib's *CPU* executable serialization
-    writes entries stamped with compile-time pseudo-features
+def enable_compilation_cache(path: str | None = None,
+                             force: bool = False) -> None:
+    """Default ON for accelerator backends, opt-in for CPU
+    (LWT_JAX_CACHE=1/0 overrides; ``force=True`` enables regardless —
+    used by the driver dryrun, whose remote-offloaded CPU compiles cost
+    minutes each when cold).
+
+    Historical note: this jaxlib's *local* CPU executable serialization
+    wrote entries stamped with compile-time pseudo-features
     (+prefer-no-scatter/-gather) that the loader's host-feature check
-    rejects — usually a warning, but intermittently a hard abort inside
-    ``get_executable_and_time`` — so the CPU backend keeps in-process
-    caching only.  TPU (axon) executables reload cleanly and cold
-    compiles through the 1-core host dominate bench wall time, so the
-    on-disk cache is the default there.  The directory is keyed by an
-    XLA-context hash so different flag/backend contexts never share
-    entries."""
+    sometimes rejected.  Under the axon remote-compile service the
+    returned executables reload cleanly (verified: cross-process hits for
+    shard_map/keccak/NTT programs on the forced-CPU platform), so forced
+    callers get the cache on CPU too.
+
+    One flat directory for all contexts: JAX's own cache key already
+    hashes the XLA flags, compile options, and accelerator config
+    (``jax._src.cache_key``), so a per-context subdirectory only
+    fragments the cache across harnesses that set slightly different
+    envs."""
     import jax
 
     env = os.environ.get("LWT_JAX_CACHE")
     if env == "0":
         return
-    if env != "1":
+    if env != "1" and not force:
         try:
             platform = jax.default_backend()
         except Exception:
@@ -38,18 +48,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
         if platform == "cpu":
             return
 
-    base = path or os.environ.get(
+    path = path or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".jax_cache"),
     )
-    flags = " ".join(sorted(os.environ.get("XLA_FLAGS", "").split()))
-    ctx = hashlib.md5(
-        (flags
-         + "|" + os.environ.get("JAX_PLATFORMS", "")
-         + "|" + str(jax.config.jax_platforms)).encode()
-    ).hexdigest()[:10]
-    path = os.path.join(base, ctx)
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

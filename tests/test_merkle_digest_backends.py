@@ -95,3 +95,58 @@ def test_sha2_device_vs_hashlib_random_sizes():
         for b, m in enumerate(msgs):
             assert np.ascontiguousarray(got[:, b]).tobytes() == \
                 hashlib.sha256(m).digest()
+
+
+def _words_of(msgs, n):
+    import jax.numpy as jnp
+
+    W = (n + 3) // 4
+    arr = np.zeros((W, len(msgs)), np.uint32)
+    for b, m in enumerate(msgs):
+        arr[:, b] = np.frombuffer(m + b"\0" * (W * 4 - n), "<u4")
+    return jnp.asarray(arr)
+
+
+@pytest.mark.parametrize("n", [31, 71, 72, 112, 128])
+def test_wide_digests_device_vs_host_block_boundaries(n):
+    """sha512 and the rate-72 sponges (keccak-512 / sha3-512) at
+    block-boundary and non-word-aligned sizes — the tree tests only hit
+    element-width multiples (32/128 bytes)."""
+    from lambda_elliptic_curves_tpu.hashes import sha2
+    import jax.numpy as jnp  # noqa: F401
+
+    rng = np.random.default_rng(1000 + n)
+    msgs = [rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            for _ in range(3)]
+    words = _words_of(msgs, n)
+
+    cases = {
+        "sha2_512": (lambda w: sha2.sha512_words(w, n),
+                     lambda m: hashlib.sha512(m).digest()),
+        "keccak512": (lambda w: keccak.sponge_words(w, n, 72, 0x01, 64),
+                      keccak.keccak512),
+        "sha3_512": (lambda w: keccak.sponge_words(w, n, 72, 0x06, 64),
+                     lambda m: hashlib.sha3_512(m).digest()),
+    }
+    for name, (dev_fn, host_fn) in cases.items():
+        got = np.asarray(dev_fn(words)).astype("<u4")
+        for b, m in enumerate(msgs):
+            assert np.ascontiguousarray(got[:, b]).tobytes() == host_fn(m), \
+                f"{name} mismatch at n={n}"
+
+
+def test_sponge_words_tolerates_extra_trailing_words():
+    """sponge_words sizes its padding from msg_bytes, not the caller's
+    array: extra zero words beyond the message must not change the digest."""
+    import jax.numpy as jnp
+
+    n = 45
+    rng = np.random.default_rng(7)
+    msg = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+    words = _words_of([msg], n)
+    padded = jnp.concatenate([words, jnp.zeros((5, 1), jnp.uint32)], axis=0)
+    a = np.asarray(keccak.sponge_words(words, n, 136, 0x01, 32))
+    b = np.asarray(keccak.sponge_words(padded, n, 136, 0x01, 32))
+    assert a.tobytes() == b.tobytes()
+    assert np.ascontiguousarray(a.astype("<u4").T).tobytes() == \
+        keccak.keccak256(msg)
