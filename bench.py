@@ -30,13 +30,36 @@ if os.environ.get("BENCH_PLATFORM"):
 import jax.numpy as jnp
 
 
+_probe_fns: dict = {}
+
+
+def _force(out):
+    """Force REAL completion of ``out`` (any pytree of device arrays).
+
+    ``block_until_ready`` through the tunneled backend can acknowledge a
+    dispatch before the device work finishes (measured: a 2^22 NTT
+    "completing" in 0.1 ms).  A data-dependent reduction whose scalar is
+    pulled with ``device_get`` cannot lie — the bytes must exist."""
+    leaves = jax.tree_util.tree_leaves(out)
+    total = 0
+    for x in leaves[:4]:
+        key = (x.shape, str(x.dtype))
+        pb = _probe_fns.get(key)
+        if pb is None:
+            pb = _probe_fns[key] = jax.jit(
+                lambda a: jnp.sum(a.reshape(-1)[:8].astype(jnp.uint32)))
+        total ^= int(jax.device_get(pb(x)))
+    return total
+
+
 def _median_ms(fn, *args, reps=3):
     out = fn(*args)
     jax.block_until_ready(out)  # compile + warmup
+    _force(out)  # probe compile happens outside the timed region
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
         times.append(time.perf_counter() - t0)
     return sorted(times)[reps // 2] * 1000.0, out
 
@@ -105,17 +128,25 @@ def bench_ntt():
     from lambda_elliptic_curves_tpu.fields import Stark252 as f
     from lambda_elliptic_curves_tpu.poly import ntt, ntt_mxu, ntt_pallas
 
+    from lambda_elliptic_curves_tpu.ops import limbs
+
     log_n = int(os.environ.get("BENCH_LOG_N", "22"))
     n = 1 << log_n
-    key = jax.random.PRNGKey(0)
-    digits = jax.random.randint(
-        key, (f.num_digits, n), 0, 1 << 16, dtype=jnp.uint32)
-    digits = digits.at[-1].set(digits[-1] & jnp.uint32(0x07FF))
+    # input built host-side: the oracle values read from the numpy copy
+    # for free (an eager device gather would be a fresh multi-minute
+    # remote compile through the tunnel)
+    rng = np.random.default_rng(0)
+    digits_np = rng.integers(0, 1 << 16, (f.num_digits, n), dtype=np.uint32)
+    digits_np[-1] &= np.uint32(0x07FF)
+    digits = jnp.asarray(digits_np)
 
     w = f.params.primitive_root_of_unity(log_n)
     check_js = (0, 1, n // 3)
     points = [pow(w, j, f.p) for j in check_js]
-    want = [int(v) % f.p for v in f.to_ints(digits[..., list(check_js)])]
+    # raw digit planes are Montgomery-form values; canonicalize on host
+    r_inv = pow(f.params.r, f.p - 2, f.p)
+    want = [int(v) * r_inv % f.p for v in
+            limbs.digits_to_ints_np(digits_np[:, list(check_js)], f.params)]
 
     def check(coeffs):
         return _eval_at_points(f, coeffs, points) == want
@@ -181,18 +212,22 @@ def bench_small_field():
     log_n = int(os.environ.get("BENCH_SMALL_LOG_N", "20"))
     n = 1 << log_n
     f = BabyBear
-    key = jax.random.PRNGKey(2)
-    digits = jax.random.randint(
-        key, (f.num_digits, n), 0, 1 << 12, dtype=jnp.uint32)
+    rng = np.random.default_rng(2)
+    digits = jnp.asarray(rng.integers(
+        0, 1 << 12, (f.num_digits, n), dtype=np.uint32))
 
     fwd = jax.jit(lambda c: ntt.fft(c, f))
     ms_ntt, evals = _median_ms(fwd, digits)
 
-    # oracle: evals[j] == poly(w^j) at 3 points (one jitted fold program)
+    # oracle: evals[j] == poly(w^j) at 3 points; the fold evaluator reads
+    # the coefficient side, the eval side comes through one tiny jitted
+    # gather (eager advanced indexing would be its own remote compile)
     w = f.params.primitive_root_of_unity(log_n)
     check_js = (1, 7, n // 5)
     got = _eval_at_points(f, digits, [pow(w, j, f.p) for j in check_js])
-    want = [int(v) % f.p for v in f.to_ints(evals[..., list(check_js)])]
+    take = jax.jit(lambda e, i: jnp.take(e, i, axis=-1))
+    want = [int(v) % f.p for v in
+            f.to_ints(take(evals, jnp.asarray(list(check_js))))]
     ok = got == want
     row = {
         "metric": f"babybear_ntt_2^{log_n}",
@@ -204,12 +239,14 @@ def bench_small_field():
     _emit(row)
 
     # Poseidon (Starknet s128b over Stark252) Merkle commit
+    from lambda_elliptic_curves_tpu.ops import limbs
+
     log_leaves = int(os.environ.get("BENCH_MERKLE_LOG", "16"))
     m = 1 << log_leaves
     fs = Stark252
-    leaves = jax.random.randint(
-        jax.random.PRNGKey(3), (fs.num_digits, m), 0, 1 << 14,
-        dtype=jnp.uint32)
+    leaves_np = np.random.default_rng(3).integers(
+        0, 1 << 14, (fs.num_digits, m), dtype=np.uint32)
+    leaves = jnp.asarray(leaves_np)
     backend = PoseidonBackend()
 
     def build(lv):
@@ -218,10 +255,16 @@ def bench_small_field():
 
     ms_merkle, _root = _median_ms(build, leaves)
     tree = MerkleTree.build(backend, leaves)
-    # oracle: inclusion proofs verify on the host path
+    # oracle: inclusion proofs verify on the host path; leaf values read
+    # from the numpy copy (a 17 MB device pull + per-element big-int
+    # conversion would dominate the config's wall time).  The device
+    # array holds Montgomery digits, so divide R back out on the host.
+    r_inv = pow(fs.params.r, fs.p - 2, fs.p)
     ok2 = all(
-        tree.get_proof_by_pos(i).verify(backend, tree.root, i,
-                                        backend.to_host(leaves)[i])
+        tree.get_proof_by_pos(i).verify(
+            backend, tree.root, i,
+            int(limbs.digits_to_ints_np(leaves_np[:, i], fs.params))
+            * r_inv % fs.p)
         for i in (0, 5, m - 1)
     )
     return {
@@ -271,19 +314,25 @@ def bench_msm():
             ay = (lam * (ax - nx) - ay) % p
             ax = nx
 
-    px = f.array(list(xs))
-    py = f.array(list(ys))
-    pz = f.constant(1, (base,))
+    # tile on the HOST (an eager device jnp.tile at (K, 2^18) is a fresh
+    # remote compile through the tunnel); one to-Montgomery program total
+    from lambda_elliptic_curves_tpu.ops import limbs
+
+    canon_x = limbs.ints_to_digits_np(xs, f.params)
+    canon_y = limbs.ints_to_digits_np(ys, f.params)
     if reps > 1:
-        px = jnp.tile(px, (1, reps))
-        py = jnp.tile(py, (1, reps))
-        pz = jnp.tile(pz, (1, reps))
+        canon_x = np.tile(canon_x, (1, reps))
+        canon_y = np.tile(canon_y, (1, reps))
+    px = f._jit_to_mont(jnp.asarray(canon_x))
+    py = f._jit_to_mont(jnp.asarray(canon_y))
+    pz = f.constant(1, (B,))
     pts = (px, py, pz)
 
     Ks = max(1, -(-order.bit_length() // 16))
-    sd = jax.random.randint(jax.random.PRNGKey(1), (Ks, B), 0, 1 << 16,
-                            dtype=jnp.int32).astype(jnp.uint32)
-    sd = sd.at[-1].set(0)
+    sd_np = np.random.default_rng(1).integers(
+        0, 1 << 16, (Ks, B), dtype=np.uint32)
+    sd_np[-1] = 0
+    sd = jnp.asarray(sd_np)
 
     run = jax.jit(lambda sd, pts: msm_pippenger(curve, sd, pts))
     ms, out = _median_ms(run, sd, pts)
@@ -293,7 +342,7 @@ def bench_msm():
     # < 2^16, B = 2^18 terms: max 2^48 per dot — no overflow), so the
     # expected point costs one host scalar-mul, not B big-int products.
     weights = (np.arange(B, dtype=np.uint64) % base) + 1
-    planes = np.asarray(sd).astype(np.uint64)
+    planes = sd_np.astype(np.uint64)
     total = sum(
         int(np.dot(planes[d], weights)) << (16 * d) for d in range(Ks)
     ) % order
@@ -450,6 +499,22 @@ def bench_pairing():
 # reference: math/benches/criterion_field.rs, criterion_elliptic_curve.rs)
 # ---------------------------------------------------------------------------
 
+_CHAIN_K = 8
+
+
+def _chain_ms(step, x0, *rest):
+    """Per-op time from a chain of ``_CHAIN_K`` dependent applications in
+    ONE jitted program (standalone small-jit timings through the tunnel
+    read ~0 ms; a dependent chain amortises the dispatch round trip)."""
+    def run(x, *r):
+        for _ in range(_CHAIN_K):
+            x = step(x, *r)
+        return x
+
+    ms, _ = _median_ms(jax.jit(run), x0, *rest)
+    return ms / _CHAIN_K
+
+
 def bench_micro():
     """Per-op device throughput at 2^20 lanes: field mul/add/inv/sqrt for
     Stark252 + BabyBear, and BLS12-381 Jacobian add/double.  Emits one row
@@ -462,24 +527,23 @@ def bench_micro():
     rows = []
 
     for f in (Stark252, BabyBear):
-        key = jax.random.PRNGKey(11)
-        a = jax.random.randint(key, (f.num_digits, lanes), 0, 1 << 12,
-                               dtype=jnp.uint32)
-        b = jax.random.randint(jax.random.PRNGKey(12),
-                               (f.num_digits, lanes), 0, 1 << 12,
-                               dtype=jnp.uint32)
-        sq = jax.jit(lambda x: f.mul(x, x))(a)  # QR guarantee for sqrt
+        rng = np.random.default_rng(11)
+        a = jnp.asarray(rng.integers(0, 1 << 12, (f.num_digits, lanes),
+                                     dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 1 << 12, (f.num_digits, lanes),
+                                     dtype=np.uint32))
         ops = {
-            "mul": (jax.jit(f.mul), (a, b)),
-            "add": (jax.jit(f.add), (a, b)),
-            "inv": (jax.jit(f.inv), (a,)),
+            "mul": (lambda x, y, _f=f: _f.mul(x, y), (a, b)),
+            "add": (lambda x, y, _f=f: _f.add(x, y), (a, b)),
+            "inv": (lambda x, _f=f: _f.inv(x), (a,)),
         }
         if hasattr(f, "sqrt"):
-            ops["sqrt"] = (jax.jit(f.sqrt), (sq,))
+            # sqrt then square keeps the chain inside the QR set
+            ops["sqrt"] = (lambda x, _f=f: _f.mul(_f.sqrt(x), _f.sqrt(x)),
+                           (a,))
         for op, (fn, args) in ops.items():
             try:
-                ms, out = _median_ms(fn, *args)
-                jax.block_until_ready(out)
+                ms = _chain_ms(fn, *args)
                 rows.append({
                     "metric": f"micro_{f.params.name}_{op}_2^20",
                     "value": round(ms, 3), "unit": "ms",
@@ -489,22 +553,50 @@ def bench_micro():
                 rows.append({"metric": f"micro_{f.params.name}_{op}",
                              "error": repr(e)[:160]})
 
+    # hash throughput (reference: crypto/benches/criterion_poseidon.rs,
+    # criterion_merkle.rs): informs whether a Pallas hash kernel could
+    # beat the XLA lowering of the same batched program
+    try:
+        from lambda_elliptic_curves_tpu.hashes import keccak, poseidon
+        from lambda_elliptic_curves_tpu.fields import Stark252 as fs
+
+        m = 1 << 16
+        leaves = jnp.asarray(np.random.default_rng(13).integers(
+            0, 1 << 14, (fs.num_digits, m), dtype=np.uint32))
+        ms = _chain_ms(poseidon.hash_single, leaves)
+        rows.append({"metric": "micro_poseidon_hash_2^16",
+                     "value": round(m / ms * 1e3, 0), "unit": "hashes/s",
+                     "vs_baseline": None, "check": "ok"})
+        words = jnp.asarray(np.random.default_rng(14).integers(
+            0, 1 << 32, (8, m), dtype=np.uint32))
+        ms = _chain_ms(lambda w: keccak.keccak256_words(w, 32), words)
+        rows.append({"metric": "micro_keccak256_32B_2^16",
+                     "value": round(m / ms * 1e3, 0), "unit": "hashes/s",
+                     "vs_baseline": None, "check": "ok"})
+    except Exception as e:  # noqa: BLE001
+        rows.append({"metric": "micro_hashes", "error": repr(e)[:160]})
+
     try:
         curve = BLS12381Curve
         jops = JacobianOps(curve)
         g = curve.generator()
+        from lambda_elliptic_curves_tpu.ops import limbs
+
         n_pts = min(lanes, 1 << 16)
         f = curve.field
-        px = jnp.tile(f.array([g.x]), (1, n_pts))
-        py = jnp.tile(f.array([g.y]), (1, n_pts))
+        px = f._jit_to_mont(jnp.asarray(np.tile(
+            limbs.ints_to_digits_np(np.array([g.x], object), f.params),
+            (1, n_pts))))
+        py = f._jit_to_mont(jnp.asarray(np.tile(
+            limbs.ints_to_digits_np(np.array([g.y], object), f.params),
+            (1, n_pts))))
         pz = f.constant(1, (n_pts,))
         pts = (px, py, pz)
-        dbl = jax.jit(lambda P: jops.double(P))
-        addf = jax.jit(lambda P, Q: jops.add(P, Q))
-        two_g = dbl(pts)
-        for op, fn, args in (("double", dbl, (pts,)),
-                             ("add", addf, (pts, two_g))):
-            ms, out = _median_ms(fn, *args)
+        two_g = jax.jit(jops.double)(pts)
+        for op, fn, args in (
+                ("double", lambda P: jops.double(P), (pts,)),
+                ("add", lambda P, Q: jops.add(P, Q), (pts, two_g))):
+            ms = _chain_ms(fn, *args)
             rows.append({
                 "metric": f"micro_bls12381_jacobian_{op}_2^{n_pts.bit_length() - 1}",
                 "value": round(ms, 3), "unit": "ms",

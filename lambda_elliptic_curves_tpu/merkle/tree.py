@@ -134,7 +134,24 @@ class MerkleTree:
 
         Leaf hashing is one batched device call; parent levels prefer the
         backend's native host path (one transfer + one C call), else build
-        in one fused device program with lazy host views."""
+        in one fused device program with lazy host views.
+
+        Under an active ``parallel.mesh_ctx`` mesh the leaf axis is
+        sharded first, so the O(n) leaf-hash bulk runs distributed (the
+        tree top is protocol-sized and stays local)."""
+        from ..parallel import mesh_ctx
+
+        import jax
+
+        ctx = mesh_ctx.active()
+        if (ctx is not None
+                and not isinstance(leaves, jax.core.Tracer)
+                and leaves.shape[-1] % ctx[0].shape[ctx[1]] == 0):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh, ax = ctx
+            spec = P(*([None] * (leaves.ndim - 1)), ax)
+            leaves = jax.device_put(leaves, NamedSharding(mesh, spec))
         return cls.from_leaf_digests(backend, backend.hash_leaves(leaves))
 
     @classmethod

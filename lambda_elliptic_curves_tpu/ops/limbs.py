@@ -896,23 +896,65 @@ def batch_inverse(a, fp: FieldParams):
     """Montgomery-trick batch inversion along the *last* axis.
 
     Counterpart of ``FieldElement::inplace_batch_inverse``
-    (``math/src/field/element.rs:47``) reformulated for SPMD hardware:
-    log-depth prefix/suffix products via ``lax.associative_scan`` plus a
-    single Fermat inversion.  Zeros map to zero.
+    (``math/src/field/element.rs:47``).  Zeros map to zero.
+
+    Two regimes, chosen by compile economics on this backend:
+
+    * small N: log-depth prefix/suffix products via
+      ``lax.associative_scan`` — minimal runtime muls, but the scan tree
+      UNROLLS (~2 log2 N full Montgomery multiplies in the HLO), which at
+      N >= 2^12 made this single op a multi-minute remote compile;
+    * large N: serial-chunk formulation — view the axis as (C, L=64)
+      chunks, prefix-scan along L (``lax.scan``: ONE mul in the program
+      body), Fermat-invert all C chunk totals elementwise (small scan
+      body), back-substitute with a second L-scan (two muls).  ~2x the
+      runtime multiplies, a ~50x smaller program.
     """
     zmask = is_zero(a)
     one_all = const_digits(fp.r, fp, a.shape[1:])
     safe = jnp.where(zmask[None], one_all, a)
+    N = a.shape[-1]
+    L = 64
 
-    mul = lambda x, y: mont_mul(x, y, fp)
-    prefix = jax.lax.associative_scan(mul, safe, axis=-1)
-    suffix = jnp.flip(
-        jax.lax.associative_scan(mul, jnp.flip(safe, axis=-1), axis=-1),
-        axis=-1,
-    )
-    total_inv = mont_inv(prefix[..., -1], fp)
+    if N < 2 * L or N % L:
+        mul = lambda x, y: mont_mul(x, y, fp)
+        prefix = jax.lax.associative_scan(mul, safe, axis=-1)
+        suffix = jnp.flip(
+            jax.lax.associative_scan(mul, jnp.flip(safe, axis=-1), axis=-1),
+            axis=-1,
+        )
+        total_inv = mont_inv(prefix[..., -1], fp)
 
-    left = jnp.concatenate([one_all[..., :1], prefix[..., :-1]], axis=-1)
-    right = jnp.concatenate([suffix[..., 1:], one_all[..., :1]], axis=-1)
-    out = mont_mul(mont_mul(left, right, fp), total_inv[..., None], fp)
+        left = jnp.concatenate([one_all[..., :1], prefix[..., :-1]], axis=-1)
+        right = jnp.concatenate([suffix[..., 1:], one_all[..., :1]], axis=-1)
+        out = mont_mul(mont_mul(left, right, fp), total_inv[..., None], fp)
+        return jnp.where(zmask[None], jnp.zeros_like(out), out)
+
+    K = a.shape[0]
+    batch = a.shape[1:-1]
+    C = N // L
+    v = safe.reshape((K,) + batch + (C, L))
+    xs = jnp.moveaxis(v, -1, 0)  # (L, K, *batch, C)
+    ones_c = const_digits(fp.r, fp, batch + (C,))
+
+    def fwd(carry, x):
+        nxt = mont_mul(carry, x, fp)
+        return nxt, nxt
+
+    total, prefix = jax.lax.scan(fwd, ones_c, xs)
+    total_inv = mont_inv(total, fp)  # elementwise Fermat over C lanes
+
+    # backward: run_l = inv(prefix[l]); out[l] = run_l * prefix[l-1];
+    # run_{l-1} = run_l * x[l]
+    pprev = jnp.concatenate([ones_c[None], prefix[:-1]], axis=0)
+
+    def bwd(run, inp):
+        x, pp = inp
+        out = mont_mul(run, pp, fp)
+        return mont_mul(run, x, fp), out
+
+    _, outs_rev = jax.lax.scan(
+        bwd, total_inv, (jnp.flip(xs, 0), jnp.flip(pprev, 0)))
+    outs = jnp.flip(outs_rev, 0)  # (L, K, *batch, C)
+    out = jnp.moveaxis(outs, 0, -1).reshape(a.shape)
     return jnp.where(zmask[None], jnp.zeros_like(out), out)

@@ -114,3 +114,26 @@ def sharded_round1(field, trace_cols, mesh: Mesh, blowup: int = 4,
                                coset_offset, axis_name)
     root, _levels = sharded_commit(field, lde_br, mesh, axis_name)
     return root, lde_br
+
+
+def sharded_prove(air_class, trace, pub_inputs, proof_options, transcript,
+                  mesh: Mesh, axis_name: str = "x"):
+    """Full STARK prove with ALL rounds mesh-sharded (VERDICT r3 item 5;
+    north star SURVEY §7 steps 5 & 8 — the reference has no distributed
+    backend to match, ``README.md:35``).
+
+    Uses the ambient :mod:`.mesh_ctx`: every standard-root NTT (round-1
+    trace interpolation + LDE, round-2 composition interpolate/evaluate,
+    round-4 DEEP interpolation and per-layer FRI evaluations) rides the
+    four-step all-to-all when its size factors across the mesh, and every
+    Merkle leaf-hash storm (main/aux/composition trees) runs with the
+    leaf axis sharded.  Constraint evaluation is elementwise over the LDE
+    and inherits the sharded layout.  Placement-only routing: the
+    returned proof is bit-for-bit the single-device proof.
+    """
+    from ..provers.stark.prover import prove
+    from . import mesh_ctx
+
+    with mesh_ctx.mesh_context(mesh, axis_name):
+        return prove(air_class, trace, pub_inputs, proof_options,
+                     transcript)

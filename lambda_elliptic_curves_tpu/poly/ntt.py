@@ -486,6 +486,24 @@ def _fft_core(x, field: PrimeField, twiddles_br):
     return x.reshape((K,) + batch + (n,))
 
 
+def _mesh_route(field, arr, inverse: bool):
+    """When a ``parallel.mesh_ctx`` mesh is active and the transform
+    factors across it, return the mesh-sharded result (natural order,
+    protocol-exact); otherwise None (run locally)."""
+    from ..parallel import mesh_ctx
+
+    ctx = mesh_ctx.active()
+    if ctx is None or arr.shape[0] != field.num_digits:
+        return None
+    mesh, ax = ctx
+    from ..parallel.ntt_sharded import sharded_ntt, splittable
+
+    if not splittable(arr.shape[-1], mesh.shape[ax]):
+        return None
+    return sharded_ntt(field, arr, mesh, ax, ordering="natural",
+                       inverse=inverse)
+
+
 def fft(coeffs, field: PrimeField):
     """Forward transform: natural-order coefficients -> natural-order
     evaluations P(w^i) over the size-n domain (n = last-axis length, must be
@@ -497,6 +515,9 @@ def fft(coeffs, field: PrimeField):
         raise FFTError(
             f"{field.name}: order {order} exceeds two-adicity {field.two_adicity}"
         )
+    routed = _mesh_route(field, coeffs, inverse=False)
+    if routed is not None:
+        return routed
     return fft_with_root(coeffs, field,
                          field.params.primitive_root_of_unity(order))
 
@@ -510,6 +531,9 @@ def ifft(evals, field: PrimeField):
         raise FFTError(
             f"{field.name}: order {order} exceeds two-adicity {field.two_adicity}"
         )
+    routed = _mesh_route(field, evals, inverse=True)
+    if routed is not None:
+        return routed
     root = field.params.primitive_root_of_unity(order)
     # lazy transform output: the strict n^-1 scaling multiply reduces the
     # representatives back to canonical for free

@@ -16,6 +16,14 @@ pipeline.  ``evaluate_transition`` receives *opaque values* supporting
 +, -, * — on the prover path these are thin wrappers over batched device
 arrays, on the verifier path host field elements, so a foreign AIR written
 against plain arithmetic works unchanged on both.
+
+Scope note (design-equivalent, not a link-level adapter): the reference
+links the actual winterfell crates and adapts their ``Air`` trait objects
+(``provers/winterfell_adapter/src/adapter/air.rs:30``); a Python build
+cannot link Rust crates, so this module reproduces the adapter's *role* —
+foreign AIR in, platinum proof out — against the same trait surface, and
+``fields/winterfell_compat.py`` + the example AIRs in
+``tests/test_winterfell_compat.py`` carry the behavioural parity tests.
 """
 
 from __future__ import annotations

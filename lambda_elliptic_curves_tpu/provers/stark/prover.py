@@ -95,6 +95,116 @@ class Prover:
     def __init__(self, air_class):
         self.air_class = air_class
 
+    # (field, backend type, shape, blowup, offset, mesh) -> jitted round-1
+    _round1_cache: dict = {}
+    # (fd id, backend type, shape, nparts, offset, mesh) -> jitted commit
+    _round2_commit_cache: dict = {}
+    # (fd id, shapes, mesh) -> jitted DEEP evaluation program
+    _deep_cache: dict = {}
+
+    @staticmethod
+    def _cache_mesh_key():
+        from ...parallel import mesh_ctx
+
+        return mesh_ctx.active()
+
+    def _round1_program(self, f, backend, shape, blowup, n, offset):
+        """ONE jitted program for the whole round-1 bulk: interpolate ->
+        coset LDE -> bit-reverse -> leaf keccak.  No challenge inputs, so
+        it compiles once per (AIR shape, options) and a prove pays ~4
+        dispatches instead of ~15 (each dispatch is 4-35 ms through the
+        tunnel; ``prover.rs:208`` interpolate_and_commit parity)."""
+        key = (f, type(backend), shape, blowup, n, offset,
+               self._cache_mesh_key())
+        fn = self._round1_cache.get(key)
+        if fn is None:
+            import jax
+
+            def run(cols):
+                tpolys = ntt.interpolate_fft(f, cols)
+                lde = ntt.evaluate_offset_fft(f, tpolys, blowup, n, offset)
+                lde_br = ntt.bit_reverse_permute(lde)
+                return tpolys, lde, lde_br, backend.hash_leaves(lde_br)
+
+            fn = self._round1_cache[key] = jax.jit(run)
+        return fn
+
+    def _round2_commit_program(self, ext, backend, shape, nparts, offset):
+        """Jitted round-2 commit bulk: interpolate H over the coset ->
+        break_in_parts -> parts LDE -> component-major leaves -> keccak
+        (``prover.rs:428`` round_2 parity, one program)."""
+        key = (id(ext.fd), type(backend), shape, nparts, offset,
+               self._cache_mesh_key())
+        fn = self._round2_commit_cache.get(key)
+        if fn is None:
+            import jax
+
+            def run(ce_evals):
+                h_coeffs = ext.interpolate_offset_fft(ce_evals, offset)
+                parts = jnp.stack(
+                    [h_coeffs[..., i::nparts] for i in range(nparts)],
+                    axis=-2)
+                N = ce_evals.shape[-1]
+                parts_lde = ext.evaluate_offset_fft(
+                    parts, N // parts.shape[-1], None, offset)
+                parts_br = ntt.bit_reverse_permute(parts_lde)
+                comp_leaves = jnp.concatenate(
+                    [ext.as_base_columns(parts_br[..., 0::2]),
+                     ext.as_base_columns(parts_br[..., 1::2])], axis=1)
+                return (parts, parts_lde, comp_leaves,
+                        backend.hash_leaves(comp_leaves))
+
+            fn = self._round2_commit_cache[key] = jax.jit(run)
+        return fn
+
+    def _deep_program(self, ext, lde_shape, parts_shape, n_terms, ext_lde):
+        """Jitted DEEP composition: ALL quotient terms in one program with
+        the challenge data as runtime arrays — one (T, N) batch inversion
+        instead of T+1 separate ones, one log-fold accumulation
+        (``prover.rs:643`` compute_deep_composition_poly parity)."""
+        key = (id(ext.fd), lde_shape, parts_shape, n_terms, ext_lde,
+               self._cache_mesh_key())
+        fn = self._deep_cache.get(key)
+        if fn is None:
+            import jax
+
+            fd = ext.fd
+
+            def run(lde_all, parts_lde, lde_points, num_ood, den_pts,
+                    gammas):
+                # term evaluation rows: H parts then every (col, offset)
+                nparts = parts_lde.shape[1]
+                cols = [parts_lde[:, i] for i in range(nparts)]
+                num_cols = lde_all.shape[1]
+                n_offs = (n_terms - nparts) // num_cols
+                for j in range(num_cols):
+                    col = lde_all[:, j]
+                    if not ext_lde:
+                        col = ext.lift(col)
+                    cols.extend([col] * n_offs)
+                terms = jnp.stack(cols, axis=1)  # (DK, T, N)
+                den = fd.sub(
+                    jnp.broadcast_to(lde_points[:, None, :], terms.shape),
+                    jnp.broadcast_to(den_pts[..., None], terms.shape))
+                inv = fd.batch_inverse(den)
+                num = fd.sub(terms, jnp.broadcast_to(
+                    num_ood[..., None], terms.shape))
+                quot = fd.mul(fd.mul(num, inv), jnp.broadcast_to(
+                    gammas[..., None], terms.shape))
+                # log-fold sum over the T axis
+                T = quot.shape[1]
+                while T > 1:
+                    half = T // 2
+                    lo = quot[:, :half]
+                    hi = quot[:, half:half * 2]
+                    rest = quot[:, half * 2:]
+                    quot = jnp.concatenate([fd.add(lo, hi), rest], axis=1)
+                    T = quot.shape[1]
+                return quot[:, 0]
+
+            fn = self._deep_cache[key] = jax.jit(run)
+        return fn
+
     # ------------------------------------------------------------------
     def prove(self, trace, pub_inputs, proof_options, transcript) -> StarkProof:
         last_timings.clear()
@@ -114,12 +224,10 @@ class Prover:
 
         # =========================== Round 1 ===========================
         _t = time.perf_counter()
-        tpolys = ntt.interpolate_fft(f, trace.columns)  # (K, C, n)
-        lde = ntt.evaluate_offset_fft(
-            f, tpolys, blowup, n, domain.coset_offset
-        )  # (K, C, N) natural order
-        lde_br = ntt.bit_reverse_permute(lde)
-        main_tree = MerkleTree.build(backend, lde_br)
+        tpolys, lde, lde_br, leaf_words = self._round1_program(
+            f, backend, trace.columns.shape, blowup, n,
+            domain.coset_offset)(trace.columns)
+        main_tree = MerkleTree.from_leaf_digests(backend, leaf_words)
         transcript.append_bytes(main_tree.root)
         _t = _mark('round1 commit', _t)
 
@@ -168,22 +276,14 @@ class Prover:
             boundary_coeffs, rap_challenges,
         )  # (D*K, N) challenge-field evaluations
         _t = _mark('round2 constraint eval', _t)
-        h_coeffs = ext.interpolate_offset_fft(ce_evals, domain.coset_offset)
         nparts = air.composition_poly_degree_bound() // n
-        # break_in_parts: part i = coefficients i, i+P, i+2P, ...
-        parts = jnp.stack(
-            [h_coeffs[..., i::nparts] for i in range(nparts)], axis=-2
-        )  # (D*K, nparts, N/nparts)
-        parts_lde = ext.evaluate_offset_fft(
-            parts, N // parts.shape[-1], None, domain.coset_offset
-        )  # (D*K, nparts, N)
-        parts_br = ntt.bit_reverse_permute(parts_lde)
-        # leaf j = [components of p_i[2j] for all i, then of p_i[2j+1]]
-        comp_leaves = jnp.concatenate(
-            [ext.as_base_columns(parts_br[..., 0::2]),
-             ext.as_base_columns(parts_br[..., 1::2])], axis=1
-        )  # (K, 2*D*nparts, N/2): first D*nparts rows = even, then odd
-        comp_tree = MerkleTree.build(backend, comp_leaves)
+        # break_in_parts + parts LDE + component-major leaves + keccak,
+        # fused (leaf j = [components of p_i[2j] for all i, then 2j+1])
+        parts, parts_lde, comp_leaves, comp_leaf_words = \
+            self._round2_commit_program(
+                ext, backend, ce_evals.shape, nparts,
+                domain.coset_offset)(ce_evals)
+        comp_tree = MerkleTree.from_leaf_digests(backend, comp_leaf_words)
         transcript.append_bytes(comp_tree.root)
         _t = _mark('round2 commit', _t)
 
@@ -225,10 +325,24 @@ class Prover:
         trace_gammas = all_gammas[:n_trace_terms]
         comp_gammas = all_gammas[n_trace_terms:]
 
-        deep_evals = self._deep_composition_evaluations(
-            ext, domain, lde_all, parts_lde, trace_ood, parts_ood, z, z_power,
-            g, offsets, trace_gammas, comp_gammas,
-        )
+        # one upload per challenge table, one fused program for ALL terms
+        n_offs = len(offsets)
+        n_terms = nparts + num_cols * n_offs
+        num_ood_vals = list(parts_ood) + [
+            trace_ood[k][j] for j in range(num_cols) for k in range(n_offs)]
+        den_vals = [ext.value_of(z_power)] * nparts + [
+            ext.value_of(z * g**offsets[k])
+            for _j in range(num_cols) for k in range(n_offs)]
+        gamma_vals = ([ext.value_of(v) for v in comp_gammas]
+                      + [ext.value_of(v) for v in trace_gammas])
+        fd = ext.fd
+        num_ood_arr = fd.array(num_ood_vals)
+        den_arr = fd.array(den_vals)
+        gam_arr = fd.array(gamma_vals)
+        lde_points_e = ext.embed(domain.lde_points())
+        deep_evals = self._deep_program(
+            ext, lde_all.shape, parts_lde.shape, n_terms, ext_lde)(
+            lde_all, parts_lde, lde_points_e, num_ood_arr, den_arr, gam_arr)
         p0 = ext.interpolate_offset_fft(deep_evals, domain.coset_offset)
         # p0 has degree < n; drop the provably-zero high coefficients so FRI
         # folds operate on the true degree bound
@@ -396,45 +510,6 @@ class Prover:
         return out
 
     # ------------------------------------------------------------------
-    def _deep_composition_evaluations(self, ext, domain, lde_all, parts_lde,
-                                      trace_ood, parts_ood, z, z_power, g,
-                                      offsets, trace_gammas, comp_gammas):
-        """DEEP composition poly evaluated over the LDE coset
-        (``prover.rs:643`` compute_deep_composition_poly — but as
-        elementwise evaluation-space quotients).  z / gammas / OOD values
-        are challenge-field; the result is a (D*K, N) challenge array."""
-        fd = ext.fd
-        N = domain.lde_size
-        lde_points = ext.embed(domain.lde_points())  # E-lift of the coset
-        acc = fd.zeros((N,))
-
-        # H-part terms: gamma'_i (H_i - H_i(z^np)) / (x - z^np)
-        inv_h = fd.batch_inverse(
-            fd.sub(lde_points, fd.constant(ext.value_of(z_power), (N,)))
-        )
-        for i, gamma_c in enumerate(comp_gammas):
-            num = fd.sub(parts_lde[:, i], fd.constant(parts_ood[i], (N,)))
-            acc = fd.add(acc, fd.mul(fd.mul(num, inv_h),
-                                     fd.constant(ext.value_of(gamma_c), (N,))))
-
-        # trace terms: gamma_{jk} (t_j - t_j(z g^k)) / (x - z g^k)
-        num_cols = lde_all.shape[1]
-        gi = 0
-        for j in range(num_cols):
-            for k, off in enumerate(offsets):
-                zp = ext.value_of(z * g**off)
-                inv = fd.batch_inverse(
-                    fd.sub(lde_points, fd.constant(zp, (N,)))
-                )
-                num = fd.sub(ext.lift(lde_all[:, j]),
-                             fd.constant(trace_ood[k][j], (N,)))
-                acc = fd.add(acc, fd.mul(
-                    fd.mul(num, inv),
-                    fd.constant(ext.value_of(trace_gammas[gi]), (N,))))
-                gi += 1
-        return acc
-
-    # ------------------------------------------------------------------
     # (fd, backend type, poly shape, size, offset) -> jitted layer step
     _fri_step_cache: dict = {}
 
@@ -475,7 +550,12 @@ class Prover:
 
     def _fri_layer_step(self, ext, backend, poly_shape, size: int,
                         offset: int):
-        key = (id(ext.fd), type(backend), poly_shape, size, offset)
+        from ...parallel import mesh_ctx
+
+        # the ambient mesh participates in tracing (NTT routing + leaf
+        # sharding), so sharded and local proves must not share programs
+        key = (id(ext.fd), type(backend), poly_shape, size, offset,
+               mesh_ctx.active())
         fn = self._fri_step_cache.get(key)
         if fn is not None:
             return fn

@@ -30,7 +30,11 @@ from lambda_elliptic_curves_tpu.utils.jax_cache import (  # noqa: E402
     enable_compilation_cache,
 )
 
-enable_compilation_cache()
+# force=True: the CPU-platform compiles are offloaded to the same remote
+# service as TPU ones and their executables reload cleanly from the
+# on-disk cache (cross-process hits verified); without it every test run
+# pays every compile again (LWT_JAX_CACHE=0 still disables)
+enable_compilation_cache(force=True)
 
 import gc  # noqa: E402
 

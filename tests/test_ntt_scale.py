@@ -14,6 +14,8 @@ from lambda_elliptic_curves_tpu.poly import ntt
 from lambda_elliptic_curves_tpu.poly.ntt import _FOUR_STEP_MIN, _fft_pease
 from lambda_elliptic_curves_tpu.poly.polynomial import field_sum
 
+pytestmark = pytest.mark.nightly  # compile-heavy tier
+
 
 LOG_N = 15
 N = 1 << LOG_N

@@ -119,3 +119,106 @@ def test_ec_group_law_host():
     g = BLS12381Curve.generator()
     assert (g + g) + g == g * 3
     assert (g * 5) + (-g) == g * 4
+
+
+def test_pairing_bilinearity_host():
+    """Host pairing gate: e(aP, bQ) == e(P, Q)^(ab) — covers the Miller
+    loop, the Fp12 tower and the final exponentiation with zero device
+    compiles (``math/src/elliptic_curve/short_weierstrass/curves/
+    bls12_381/pairing.rs`` role)."""
+    from lambda_elliptic_curves_tpu.curves.pairings import (
+        BLS12381Pairing as cfg, pairing,
+    )
+
+    P = cfg.g1_curve.generator()
+    Q = cfg.g2_generator()
+    e1 = pairing(cfg, P, Q)
+    assert pairing(cfg, P.operate_with_self(2), Q.mul(3)) == e1 ** 6
+    assert e1 ** cfg.g1_curve.order == cfg.fp12(1)
+
+
+def test_plonk_tiny_prove_verify():
+    """Plonk gate: 4-gate circuit, naive-MSM KZG — end-to-end prove +
+    verify + tamper-reject in one test (VERDICT r3 item 8)."""
+    from lambda_elliptic_curves_tpu.commitments import (
+        KateZaveruchaGoldberg, StructuredReferenceString,
+    )
+    from lambda_elliptic_curves_tpu.curves.pairings import BLS12381Pairing
+    from lambda_elliptic_curves_tpu.fields import BLS12381Fr
+    from lambda_elliptic_curves_tpu.provers.plonk import (
+        CommonPreprocessedInput, ConstraintSystem, Prover,
+        TestRandomFieldGenerator, Verifier, Witness, setup,
+    )
+
+    f = BLS12381Fr
+    system = ConstraintSystem(f)
+    x = system.new_public_input()
+    y = system.new_public_input()
+    e = system.new_variable()
+    system.assert_eq(y, system.mul(x, e))
+    cpi = CommonPreprocessedInput.from_constraint_system(system, 7)
+    srs = StructuredReferenceString.insecure_setup(
+        BLS12381Pairing, cpi.n + 6, tau=7913)
+    kzg = KateZaveruchaGoldberg(BLS12381Pairing, srs, msm_method="naive")
+    vk = setup(cpi, kzg)
+    assignments = system.solve({x: f(4), e: f(3), y: f(12)})
+    proof = Prover(kzg, TestRandomFieldGenerator(f)).prove(
+        Witness.new(assignments, system),
+        system.public_input_values(assignments), cpi, vk)
+    assert Verifier(kzg).verify(
+        proof, system.public_input_values(assignments), cpi, vk)
+    assert not Verifier(kzg).verify(proof, [f(4), f(13)], cpi, vk)
+
+
+def test_groth16_tiny_prove_verify():
+    """Groth16 gate: the 3-constraint cubic circuit end-to-end.  All MSMs
+    are tiny, so they ride the host fast path (`msm.py` LWT_MSM_HOST_MAX)
+    — zero EC device compiles; the device MSM pipeline has its own tests
+    (test_curves/test_g2/test_msm_chunked)."""
+    import random
+
+    from lambda_elliptic_curves_tpu.fields import BLS12381Fr
+    from lambda_elliptic_curves_tpu.provers.groth16 import (
+        prove, setup, verify,
+    )
+    from lambda_elliptic_curves_tpu.provers.groth16.qap import (
+        QuadraticArithmeticProgram,
+    )
+    from lambda_elliptic_curves_tpu.provers.groth16.r1cs import R1CS
+
+    fr = BLS12381Fr
+    # x^3 + x + 5 == 35 (vars: 1, out, x, sym1, y, sym2)
+    a = [[0, 0, 1, 0, 0, 0], [0, 0, 0, 1, 0, 0], [0, 0, 1, 0, 1, 0],
+         [5, 0, 0, 0, 0, 1]]
+    b = [[0, 0, 1, 0, 0, 0], [0, 0, 1, 0, 0, 0], [1, 0, 0, 0, 0, 0],
+         [1, 0, 0, 0, 0, 0]]
+    c = [[0, 0, 0, 1, 0, 0], [0, 0, 0, 0, 1, 0], [0, 0, 0, 0, 0, 1],
+         [0, 1, 0, 0, 0, 0]]
+    r1cs = R1CS.from_matrices(a, b, c, number_of_inputs=2)
+    qap = QuadraticArithmeticProgram.from_r1cs(fr, r1cs)
+    witness = [1, 35, 3, 9, 27, 30]
+    pk, vk = setup(qap, rng=random.Random(42))
+    proof = prove(witness, qap, pk, rng=random.Random(7))
+    assert verify(vk, proof, witness[:2])
+    assert not verify(vk, proof, [1, 36])
+
+
+def test_sharded_ntt_oracle_8dev():
+    """Sharded-path gate: the 8-device four-step all-to-all NTT at n=64
+    vs an exact host DFT (same program the driver dryrun compiles)."""
+    from jax.sharding import Mesh
+
+    from lambda_elliptic_curves_tpu.fields import Stark252 as f
+    from lambda_elliptic_curves_tpu.parallel import sharded_ntt
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    n, p = 64, f.p
+    ints = [(3 * i * i + i + 2) % p for i in range(n)]
+    evals = sharded_ntt(f, f.array(ints), mesh, ordering="natural")
+    got = [int(v) % p for v in
+           f.to_ints(np.asarray(evals).reshape(f.num_digits, n))]
+    w = f.params.primitive_root_of_unity(6)
+    ws = [pow(w, k, p) for k in range(n)]
+    want = [sum(v * ws[(j * k) % n] for j, v in enumerate(ints)) % p
+            for k in range(n)]
+    assert got == want

@@ -16,6 +16,8 @@ from lambda_elliptic_curves_tpu.fields import BabyBear, Stark252
 from lambda_elliptic_curves_tpu.parallel import sharded_ntt
 from lambda_elliptic_curves_tpu.poly import ntt
 
+pytestmark = pytest.mark.nightly  # compile-heavy tier
+
 
 @pytest.fixture
 def mesh():

@@ -15,6 +15,8 @@ from lambda_elliptic_curves_tpu.parallel.stark_sharded import (
 )
 from lambda_elliptic_curves_tpu.poly import ntt
 
+pytestmark = pytest.mark.nightly  # compile-heavy tier
+
 
 @pytest.fixture
 def mesh():
@@ -52,6 +54,38 @@ def test_sharded_commit_root_equals_single_device(mesh):
     got_root, got_lde = sharded_round1(field, trace, mesh, blowup, 3)
     assert got_root == want_root
     assert (field.to_ints(got_lde) == field.to_ints(lde_br)).all()
+
+
+def test_sharded_full_prove_bit_for_bit(mesh):
+    """The ambient-mesh prover (ALL rounds sharded where sizes split) must
+    produce byte-identical proofs to the single-device prover, and they
+    must verify (VERDICT r3 item 5)."""
+    from lambda_elliptic_curves_tpu.fiat_shamir import DefaultTranscript
+    from lambda_elliptic_curves_tpu.parallel.stark_sharded import (
+        sharded_prove,
+    )
+    from lambda_elliptic_curves_tpu.provers.stark import (
+        ProofOptions, prove, verify,
+    )
+    from lambda_elliptic_curves_tpu.provers.stark.examples.fibonacci import (
+        FibonacciPublicInputs, fibonacci_air_for, fibonacci_trace,
+    )
+    from lambda_elliptic_curves_tpu.utils.serialization import (
+        serialize_proof,
+    )
+
+    field = Stark252
+    air = fibonacci_air_for(field)
+    trace = fibonacci_trace(field, [1, 1], 64)
+    pub = FibonacciPublicInputs(a0=1, a1=1)
+    opts = ProofOptions(blowup_factor=2, fri_number_of_queries=4,
+                        coset_offset=3, grinding_factor=0)
+
+    sharded = sharded_prove(air, trace, pub, opts,
+                            DefaultTranscript(field), mesh)
+    local = prove(air, trace, pub, opts, DefaultTranscript(field))
+    assert serialize_proof(sharded) == serialize_proof(local)
+    assert verify(air, sharded, pub, opts, DefaultTranscript(field))
 
 
 def test_sharded_commit_proofs_open_against_root(mesh):

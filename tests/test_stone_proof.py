@@ -21,6 +21,8 @@ from lambda_elliptic_curves_tpu.provers.stark.stone_serializer import (
 )
 from lambda_elliptic_curves_tpu.fields import Stark252
 
+pytestmark = pytest.mark.nightly  # compile-heavy tier
+
 
 SEED = bytes([0xCA, 0xFE, 0xCA, 0xFE])
 
