@@ -23,6 +23,7 @@ Everything is batched digit-array math; the only data-dependent structure
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -362,9 +363,23 @@ def msm(curve, scalars, points, window_size=None,
         raise ValueError("scalars and points must have the same length")
     if not points:
         return None
+    n = len(scalars)
+    # tiny instances run on the host: a B-term host double-and-add is
+    # milliseconds, while ANY device route pays whole-program compiles
+    # (measured: the 13-point KZG commits of the quick-gate Plonk test
+    # spent 137 s in device MSM dispatch+compile on a cold 1-core box).
+    # The device pipelines are exercised by the large-B paths and their
+    # dedicated tests; LWT_MSM_HOST_MAX=0 forces every size to device.
+    host_max = int(os.environ.get("LWT_MSM_HOST_MAX", "64"))
+    if n <= host_max:
+        sc = [int(s) for s in scalars]
+        if not isinstance(curve, WeierstrassCurve):  # G2 / twist points
+            from .twists import msm_g2_naive_host
+
+            return msm_g2_naive_host(sc, points)
+        return msm_naive_host(sc, points)
     # pad the instance to a power of two with zero scalars (bucket 0 is
     # dropped): MSMs of nearby sizes share one compiled program
-    n = len(scalars)
     target = 1 << (n - 1).bit_length() if n > 1 else 1
     if target != n:
         scalars = list(scalars) + [0] * (target - n)

@@ -98,7 +98,8 @@ def test_tree_reduce():
 
 
 @pytest.mark.parametrize("method", ["naive", "pippenger"])
-def test_msm_matches_host_oracle(method):
+def test_msm_matches_host_oracle(method, monkeypatch):
+    monkeypatch.setenv("LWT_MSM_HOST_MAX", "0")  # force the device path
     curve = BN254Curve
     rng = random.Random(11)
     g = curve.generator()

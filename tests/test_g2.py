@@ -104,7 +104,8 @@ def test_g2_generator_and_group_law(mk):
 
 
 @pytest.mark.parametrize("method", ["naive", "pippenger"])
-def test_g2_msm_matches_host_oracle(method):
+def test_g2_msm_matches_host_oracle(method, monkeypatch):
+    monkeypatch.setenv("LWT_MSM_HOST_MAX", "0")  # force the device path
     tw = bn254_twist()
     g = tw.generator()
     rng = random.Random(11)
@@ -117,7 +118,8 @@ def test_g2_msm_matches_host_oracle(method):
     assert got.inf == expected.inf
 
 
-def test_g2_msm_bls12_381():
+def test_g2_msm_bls12_381(monkeypatch):
+    monkeypatch.setenv("LWT_MSM_HOST_MAX", "0")  # force the device path
     tw = bls12_381_twist()
     g = tw.generator()
     rng = random.Random(13)
