@@ -164,10 +164,22 @@ _RC_TAB = np.array(
 def keccak_f(state):
     """Batched keccak-f[1600]: state (25, 2, *B) uint32, [.,0]=lo, [.,1]=hi.
 
-    One round is ~350 elementwise ops; the 24 rounds run as a
-    ``fori_loop`` (round constants indexed from a table) so the compiled
-    graph holds a single round body.
-    """
+    Dispatch: large batches on TPU route to the VMEM-resident Pallas
+    kernel (:mod:`.keccak_pallas` — one HBM read/write instead of one per
+    round); everything else runs the XLA ``fori_loop`` below.  The pallas
+    module probes its own availability once and self-disables on Mosaic
+    lowering failures, so this dispatch is always safe."""
+    from . import keccak_pallas
+
+    if keccak_pallas.available(state.shape[2:]):
+        return keccak_pallas.keccak_f(state)
+    return _keccak_f_xla(state)
+
+
+def _keccak_f_xla(state):
+    """The XLA formulation: one round is ~350 elementwise ops; the 24
+    rounds run as a ``fori_loop`` (round constants indexed from a table)
+    so the compiled graph holds a single round body."""
     import jax
 
     rc_tab = jnp.asarray(_RC_TAB)
