@@ -40,7 +40,8 @@ def _force(out):
     dispatch before the device work finishes (measured: a 2^22 NTT
     "completing" in 0.1 ms).  A data-dependent reduction whose scalar is
     pulled with ``device_get`` cannot lie — the bytes must exist."""
-    leaves = jax.tree_util.tree_leaves(out)
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "shape") and hasattr(x, "dtype")]
     total = 0
     for x in leaves[:4]:
         key = (x.shape, str(x.dtype))
@@ -334,8 +335,11 @@ def bench_msm():
     sd_np[-1] = 0
     sd = jnp.asarray(sd_np)
 
-    run = jax.jit(lambda sd, pts: msm_pippenger(curve, sd, pts))
-    ms, out = _median_ms(run, sd, pts)
+    # NO outer jit: msm_pippenger stages its own compilation (an outer
+    # trace would inline the stage jits back into the >30-min-to-compile
+    # monolith; see the STAGED note in curves/msm.py)
+    ms, out = _median_ms(lambda sd, pts: msm_pippenger(curve, sd, pts),
+                         sd, pts)
 
     # oracle: scalars s_i pair with point ((i mod base)+1)*G.  The weighted
     # scalar sum folds per digit plane in uint64 (weights < 2^14, digits
@@ -567,6 +571,22 @@ def bench_micro():
         rows.append({"metric": "micro_poseidon_hash_2^16",
                      "value": round(m / ms * 1e3, 0), "unit": "hashes/s",
                      "vs_baseline": None, "check": "ok"})
+        # keccak-f: the XLA fori_loop vs the VMEM-resident pallas kernel
+        # (VERDICT r3 item: prove which engine wins with a number)
+        from lambda_elliptic_curves_tpu.hashes import keccak_pallas
+
+        st = jnp.asarray(np.random.default_rng(14).integers(
+            0, 1 << 32, (25, 2, m), dtype=np.uint32))
+        ms = _chain_ms(keccak._keccak_f_xla, st)
+        rows.append({"metric": "micro_keccakf_xla_2^16",
+                     "value": round(m / ms * 1e3, 0), "unit": "perms/s",
+                     "vs_baseline": None, "check": "ok"})
+        if keccak_pallas.available((m,)):
+            ms = _chain_ms(keccak_pallas.keccak_f, st)
+            rows.append({"metric": "micro_keccakf_pallas_2^16",
+                         "value": round(m / ms * 1e3, 0),
+                         "unit": "perms/s",
+                         "vs_baseline": None, "check": "ok"})
         words = jnp.asarray(np.random.default_rng(14).integers(
             0, 1 << 32, (8, m), dtype=np.uint32))
         ms = _chain_ms(lambda w: keccak.keccak256_words(w, 32), words)

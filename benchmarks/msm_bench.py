@@ -73,7 +73,9 @@ def main():
                             dtype=jnp.int32).astype(jnp.uint32)
     sd = sd.at[-1].set(0)
 
-    run = jax.jit(lambda sd, pts: msm_mod.msm_pippenger(curve, sd, pts))
+    # no outer jit: msm_pippenger stages its own compilation (see the
+    # STAGED note in curves/msm.py)
+    run = lambda sd, pts: msm_mod.msm_pippenger(curve, sd, pts)  # noqa: E731
     t0 = time.perf_counter()
     out = run(sd, pts)
     jax.block_until_ready(out)

@@ -233,6 +233,10 @@ def optimum_window_size(n: int) -> int:
     return max(1, int(4 + 0.8 * math.log2(max(n, 2))))
 
 
+# (curve, ops type, wpp, B, K, nbuckets, L) -> jitted pipeline stages
+_stage_cache: dict = {}
+
+
 def msm_pippenger(curve, scalar_digits, points_dev,
                   window_size: int | None = None,
                   windows_per_pass: int | None = None,
@@ -257,9 +261,11 @@ def msm_pippenger(curve, scalar_digits, points_dev,
     nbuckets = 1 << c
     K = points_dev[0].shape[0]
 
-    # chunk the window axis so gathered points stay ~<= 2^25 u32 lanes
+    # chunk the window axis so gathered points stay ~<= 2^27 u32 lanes
+    # (512 MB — a third of v5e HBM; fewer chunks = fewer dispatches, and
+    # with staged compilation each extra window is batch width, not ops)
     if windows_per_pass is None:
-        windows_per_pass = max(1, min(n_windows, (1 << 25) // max(3 * K * B, 1)))
+        windows_per_pass = max(1, min(n_windows, (1 << 27) // max(3 * K * B, 1)))
     wpp = windows_per_pass
     W = -(-n_windows // wpp) * wpp  # padded to a multiple (MSB pad = zeros)
 
@@ -291,13 +297,27 @@ def msm_pippenger(curve, scalar_digits, points_dev,
     if B % max(L_ROWS, 1):
         L_ROWS = 1
 
-    def pass_values(windows, points):
-        """(wpp, B) ids -> per-window totals, components (K, wpp, 1)."""
+    # STAGED compilation: the fused per-chunk pipeline is a compile bomb
+    # on XLA:TPU — every EC add unrolls to ~40k HLO ops (K^2 digit
+    # products per Montgomery multiply), and whole-program compile time
+    # grows superlinearly in module size: the pieces compile in ~60 s
+    # each but the monolith did not finish in 30 minutes on a v5e
+    # (measured 2026-08-20; the compact stacked core is no alternative
+    # at this width — its materialized (K,2K,wpp,nbuckets) product
+    # tensors exceed HBM).  Splitting the chunk pipeline at its natural
+    # HBM-sized boundaries makes compile cost additive and each piece
+    # persistently cacheable; the extra inter-stage HBM round trips are
+    # noise next to the bucket scan itself.  Inside an outer trace the
+    # split is invisible (inner jits inline), so `jit(msm_pippenger)`
+    # still yields one program when a caller insists.
+    def sort_select(windows, points):
         order = jnp.argsort(windows, axis=-1)
         sorted_ids = jnp.take_along_axis(windows, order, axis=-1)
         pt = tuple(jnp.take(comp, order, axis=-1) for comp in points)
         pt = ops.select(sorted_ids != 0, pt, ops.neutral((wpp, B)))
+        return sorted_ids, pt
 
+    def accumulate(sorted_ids, pt):
         if L_ROWS > 1:
             buckets = bucket_accumulate_chunked(
                 ops, sorted_ids, pt, nbuckets, L_ROWS)
@@ -318,24 +338,79 @@ def msm_pippenger(curve, scalar_digits, points_dev,
             )
         buckets = tuple(comp[..., :nbuckets] for comp in buckets)
         nz = ops.neutral((wpp, 1))
-        buckets = tuple(
-            comp.at[:, :, 0].set(nc[:, :, 0]) for comp, nc in zip(buckets, nz)
+        return tuple(
+            comp.at[:, :, 0].set(nc[:, :, 0])
+            for comp, nc in zip(buckets, nz)
         )
 
-        # sum_j j*B_j = sum of suffix sums S_1..S_{nb-1}: prefix-scan the
-        # reversed buckets (dropping bucket 0) and tree-reduce
-        rev = tuple(jnp.flip(comp, axis=-1)[..., :-1] for comp in buckets)
-        suffix_flags = jnp.broadcast_to(
-            jnp.zeros(nbuckets - 1, jnp.uint32).at[0].set(1),
-            (wpp, nbuckets - 1))
-        scanned = ops.segmented_scan(rev, suffix_flags)
-        return ops.tree_reduce(scanned)  # (K, wpp, 1)
+    def _weighted_sum(vals, n, batch):
+        # sum_j j*V_j = sum of suffix sums S_1..S_{n-1}: prefix-scan the
+        # reversed values (dropping slot 0) and tree-reduce
+        if n <= 1:
+            return ops.neutral(batch + (1,))
+        rev = tuple(jnp.flip(comp, axis=-1)[..., :-1] for comp in vals)
+        flags = jnp.broadcast_to(
+            jnp.zeros(n - 1, jnp.uint32).at[0].set(1), batch + (n - 1,))
+        return ops.tree_reduce(ops.segmented_scan(rev, flags))
 
-    # one shared jit for the per-chunk pipeline: every chunk has the same
-    # (wpp, B) shape, so the sort/scan/scatter graph and its EC adds are
-    # compiled once and reused (inlining W/wpp copies would multiply both
-    # compile time and serialized module size)
-    pass_values = jax.jit(pass_values)
+    def window_reduce(buckets):
+        # sum_j j*B_j.  The one-level suffix-scan identity costs
+        # ~log2(nb) full-width EC adds per bucket (Hillis-Steele); at
+        # nb = 2^15 that dominated the whole MSM (measured 2026-08-20:
+        # ~1/4 of a 137 s 2^18 run).  Two-level decomposition instead:
+        # on an (R, C2) grid with j = r*C2 + t,
+        #   sum_j j*B_j = C2 * sum_r r*Row_r + sum_t t*Col_t,
+        # where Row_r / Col_t are plain axis sums computed by ONE serial
+        # lax.scan each (~1 add per bucket, program body = one add) and
+        # the two weighted subproblems are sqrt(nb)-sized.
+        # two-level only where its runtime win applies (accelerators, big
+        # windows); it traces ~6 more group-law bodies than one-level,
+        # which the CPU rig compiles painfully at digit-core widths.
+        # LWT_MSM_REDUCE=two_level|one_level overrides (tests force
+        # two_level at compact-core widths for differential coverage).
+        reduce_mode = os.environ.get("LWT_MSM_REDUCE", "auto")
+        two_level = reduce_mode == "two_level" or (
+            reduce_mode == "auto" and nbuckets >= 4096
+            and jax.default_backend() != "cpu")
+        if not two_level:
+            vals = tuple(comp for comp in buckets)
+            return _weighted_sum(vals, nbuckets, (wpp,))
+        R = 1 << (c // 2)
+        C2 = nbuckets // R
+        grid = tuple(comp.reshape(comp.shape[0], wpp, R, C2)
+                     for comp in buckets)
+
+        def add_step(acc, x):
+            return ops.add(acc, x), None
+
+        # Row_r = sum_t B_{r,t}: scan over the C2 (minor) axis
+        xs_t = tuple(jnp.moveaxis(comp, -1, 0) for comp in grid)
+        rows, _ = jax.lax.scan(add_step, ops.neutral((wpp, R)), xs_t)
+        # Col_t = sum_r B_{r,t}: scan over the R axis
+        xs_r = tuple(jnp.moveaxis(comp, -2, 0) for comp in grid)
+        cols, _ = jax.lax.scan(add_step, ops.neutral((wpp, C2)), xs_r)
+
+        wr = _weighted_sum(rows, R, (wpp,))   # sum_r r*Row_r
+        wc = _weighted_sum(cols, C2, (wpp,))  # sum_t t*Col_t
+        for _ in range(C2.bit_length() - 1):  # * C2 (a power of two)
+            wr = ops.double(wr)
+        return ops.add(wr, wc)  # (K, wpp, 1)
+
+    # jit wrappers are cached per configuration so repeated same-shape
+    # MSMs (KZG commits, Groth16 proves) re-trace nothing
+    stage_key = (getattr(curve, "name", id(curve)), type(ops).__name__,
+                 wpp, B, K, nbuckets, L_ROWS,
+                 os.environ.get("LWT_MSM_REDUCE", "auto"))
+    stages = _stage_cache.get(stage_key)
+    if stages is None:
+        stages = _stage_cache[stage_key] = [
+            jax.jit(sort_select), jax.jit(accumulate),
+            jax.jit(window_reduce)]
+
+    def pass_values(windows, points):
+        sorted_ids, pt = stages[0](windows, points)
+        return stages[2](stages[1](sorted_ids, pt))
+
     chunks = [pass_values(id_matrix[i:i + wpp], points_dev)
               for i in range(0, W, wpp)]
     values = tuple(jnp.concatenate(cs, axis=1) for cs in zip(*chunks))

@@ -12,6 +12,16 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# compile locally: the axon sitecustomize offloads even CPU-platform
+# compiles to the remote service, where they QUEUE BEHIND multi-minute
+# TPU compiles (measured 2026-08-20: a 20 s test stalled ~50 min while a
+# TPU bench compiled) and come back stamped with the service machine's
+# CPU features, which this host's AOT loader then re-checks per load
+# (~1 s/program).  Local XLA:CPU compiles are fast, queue-free, and
+# cache cleanly for this machine.  LWT_TEST_REMOTE_COMPILE=1 restores
+# the offload.
+if os.environ.get("LWT_TEST_REMOTE_COMPILE") != "1":
+    os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

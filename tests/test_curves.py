@@ -112,6 +112,25 @@ def test_msm_matches_host_oracle(method, monkeypatch):
     assert got == expected
 
 
+def test_msm_two_level_window_reduce(monkeypatch):
+    """The two-level bucket reduction (the TPU fast path for big windows)
+    against the host oracle, forced on at a compact-core width the CPU
+    rig can compile."""
+    monkeypatch.setenv("LWT_MSM_HOST_MAX", "0")
+    monkeypatch.setenv("LWT_MSM_REDUCE", "two_level")
+    curve = TestCurve1
+    g = curve.generator()
+    rng = random.Random(3)
+    n = 24
+    points = [g * rng.randrange(1, 50) for _ in range(n)]
+    scalars = [rng.randrange(curve.order or 1 << 16) for _ in range(n)]
+    expected = msm_naive_host(scalars, points)
+    # window sizes straddle the R/C2 split parities, incl. odd c
+    for c in (4, 5, 7):
+        got = msm(curve, scalars, points, window_size=c)
+        assert got == expected, c
+
+
 def test_msm_pippenger_window_sizes():
     curve = TestCurve1  # tiny field -> fast
     g = curve.generator()
