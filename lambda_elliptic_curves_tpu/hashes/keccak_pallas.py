@@ -142,20 +142,32 @@ def _probe() -> bool:
     """ONE eager compile+run of the kernel at a representative multi-tile
     shape, checked against the XLA path.  Lowering failures (or wrong
     results — a miscompiled kernel must never ship digests) disable the
-    pallas route for the process."""
+    pallas route for the process.
+
+    The probe body runs under ``jax.ensure_compile_time_eval()``: the
+    first ``keccak_f`` call of a process almost always happens inside an
+    outer jit trace (``keccak._jitted_sponge_words``), where every jnp op
+    would otherwise become a tracer of the *outer* computation and the
+    final ``bool(...)`` would raise ``TracerBoolConversionError`` — which
+    the blanket except would then cache as a permanent False, silently
+    disabling the kernel for the process (the round-4 dispatch bug).
+    ``ensure_compile_time_eval`` makes the probe genuinely eager whatever
+    the ambient trace state, so the verdict reflects the kernel, not the
+    call site."""
     import numpy as np
 
     try:
-        T = _tile()
-        B = 2 * T
-        rng = np.random.default_rng(7)
-        st = jnp.asarray(rng.integers(0, 1 << 32, (25, 2, B),
-                                      dtype=np.uint32))
-        rc_lo, rc_hi = _rc_rows(T)
-        got = _permute_fn(T, _mode() == "interpret")(
-            st.reshape(50, B), rc_lo, rc_hi)
-        want = _k._keccak_f_xla(st).reshape(50, B)
-        return bool(jnp.array_equal(got, want))
+        with jax.ensure_compile_time_eval():
+            T = _tile()
+            B = 2 * T
+            rng = np.random.default_rng(7)
+            st = jnp.asarray(rng.integers(0, 1 << 32, (25, 2, B),
+                                          dtype=np.uint32))
+            rc_lo, rc_hi = _rc_rows(T)
+            got = _permute_fn(T, _mode() == "interpret")(
+                st.reshape(50, B), rc_lo, rc_hi)
+            want = _k._keccak_f_xla(st).reshape(50, B)
+            return bool(jnp.array_equal(got, want))
     except Exception as e:  # noqa: BLE001 — Mosaic lowering gaps degrade
         import warnings
 
