@@ -396,8 +396,23 @@ def msm_pippenger(curve, scalar_digits, points_dev,
             wr = ops.double(wr)
         return ops.add(wr, wc)  # (K, wpp, 1)
 
+    def horner(xs):
+        # MSB-first window combine: c doublings then add, one lax.scan
+        def horner_step(result, window_value):
+            for _ in range(c):
+                result = ops.double(result)
+            return ops.add(result, window_value), None
+
+        result, _ = jax.lax.scan(horner_step, ops.neutral((1,)), xs)
+        return result
+
     # jit wrappers are cached per configuration so repeated same-shape
-    # MSMs (KZG commits, Groth16 proves) re-trace nothing
+    # MSMs (KZG commits, Groth16 proves) re-trace nothing.  The horner
+    # combine MUST be cached too: its scan body unrolls c+1 group ops
+    # (each ~40k HLO at 256-bit digit widths), and an eager lax.scan with
+    # a fresh closure re-TRACES that body every call — measured 26.8 s of
+    # pure tracing per 2^18 MSM on an otherwise 5 ms pipeline (the r4
+    # "catastrophically slow MSM" was this, not device math).
     stage_key = (getattr(curve, "name", id(curve)), type(ops).__name__,
                  wpp, B, K, nbuckets, L_ROWS,
                  os.environ.get("LWT_MSM_REDUCE", "auto"))
@@ -405,7 +420,7 @@ def msm_pippenger(curve, scalar_digits, points_dev,
     if stages is None:
         stages = _stage_cache[stage_key] = [
             jax.jit(sort_select), jax.jit(accumulate),
-            jax.jit(window_reduce)]
+            jax.jit(window_reduce), jax.jit(horner)]
 
     def pass_values(windows, points):
         sorted_ids, pt = stages[0](windows, points)
@@ -416,14 +431,7 @@ def msm_pippenger(curve, scalar_digits, points_dev,
     values = tuple(jnp.concatenate(cs, axis=1) for cs in zip(*chunks))
     # -> scan xs: (W, K, 1) per coordinate
     xs = tuple(jnp.swapaxes(v, 0, 1) for v in values)
-
-    def horner_step(result, window_value):
-        for _ in range(c):
-            result = ops.double(result)
-        return ops.add(result, window_value), None
-
-    result, _ = jax.lax.scan(horner_step, ops.neutral((1,)), xs)
-    return result
+    return stages[3](xs)
 
 
 def msm(curve, scalars, points, window_size=None,

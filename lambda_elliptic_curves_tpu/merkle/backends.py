@@ -302,6 +302,78 @@ class DigestBatchBackend(DigestFieldBackend):
         return self.algo.host_fn(data)
 
 
+class RescuePrimeBackend(MerkleBackend):
+    """RPO Merkle backend over Goldilocks — parity with the reference's
+    use of ``RescuePrimeOptimized`` for bulk hashing
+    (``rescue_prime_optimized.rs:192,205``).  Nodes are RPO digests =
+    ``rate/2`` Goldilocks elements, device layout ``(K, D, B)``; leaves
+    are rows of elements (vector-of-FE convention) hashed by the batched
+    device sponge (:mod:`..hashes.rescue_prime_device`), with the host
+    class as the per-node proof-verification oracle."""
+
+    def __init__(self, security_level: int = 128):
+        from ..fields.zoo import Goldilocks
+        from ..hashes import rescue_prime, rescue_prime_device
+
+        self.field = Goldilocks
+        self.level = security_level
+        self.cache_key = f"rpo{security_level}"
+        self._dev = rescue_prime_device
+        self._host = rescue_prime.RescuePrimeOptimized(security_level)
+        self.digest_elems = self._host.rate // 2
+
+    def hash_leaves(self, leaves):
+        # (K, B) single elements or (K, ncols, B) rows
+        if leaves.ndim == 2:
+            leaves = leaves[:, None, :]
+        return self._dev.hash_elements_words(leaves, self.level)
+
+    def hash_parents(self, level):
+        # (K, D, B): children 2i, 2i+1 concatenate to a 2D-element message
+        left = level[:, :, 0::2]
+        right = level[:, :, 1::2]
+        return self._dev.hash_elements_words(
+            jnp.concatenate([left, right], axis=1), self.level)
+
+    def pad_to_power_of_two(self, nodes):
+        n = nodes.shape[-1]
+        target = 1 << (n - 1).bit_length() if n > 1 else 1
+        if target == n:
+            return nodes
+        reps = jnp.repeat(nodes[..., -1:], target - n, axis=-1)
+        return jnp.concatenate([nodes, reps], axis=-1)
+
+    def count(self, nodes):
+        return nodes.shape[-1]
+
+    def to_host(self, nodes):
+        from ..ops.limbs import device_to_np
+
+        mat = device_to_np(self.field._jit_from_mont(nodes))
+        return [self.node_from_np(mat, i) for i in range(mat.shape[-1])]
+
+    def level_to_np(self, nodes):
+        from ..ops.limbs import device_to_np
+
+        return device_to_np(self.field._jit_from_mont(nodes))
+
+    def node_from_np(self, mat, i: int):
+        from ..ops import limbs
+
+        return tuple(
+            int(limbs.digits_to_ints_np(mat[:, d, i], self.field.params))
+            for d in range(mat.shape[1])
+        )
+
+    def hash_leaf_host(self, row):
+        vals = [int(v) for v in (row if isinstance(row, (list, tuple))
+                                 else [row])]
+        return tuple(self._host.hash(vals))
+
+    def hash_parent_host(self, left, right):
+        return tuple(self._host.hash(list(left) + list(right)))
+
+
 class KeccakBatchBackend(KeccakFieldBackend):
     """Leaf = Keccak256 of a full row of elements (trace-row commitments,
     parity with ``BatchedMerkleTreeBackend``, ``field_element_vector.rs``)."""
