@@ -197,7 +197,50 @@ def bench_ntt():
     if not good:
         return rows[0] if rows else {"metric": "ntt", "error": "no engines"}
     best = min(good, key=lambda r: r["value"])
-    return {**best, "metric": f"stark252_interpolate_2^{log_n}"}
+    headline = {**best, "metric": f"stark252_interpolate_2^{log_n}"}
+
+    # ---- BASELINE target size: 2^24 with the fastest engine ----------
+    # (docs/src/fft/benchmarks.md:24 — 4652.9 ms Metal M1 to beat.)
+    # Runs after the engine comparison so a compile blowup here can never
+    # erase the 2^22 row; needs ~1 GiB input + transform temporaries.
+    log_big = int(os.environ.get("BENCH_NTT_BIG_LOG", "24"))
+    if log_big > log_n and _remaining() > 240:
+        best_name = best["metric"].rsplit("_", 1)[-1]
+        try:
+            n_big = 1 << log_big
+            digits_big = rng.integers(0, 1 << 16, (f.num_digits, n_big),
+                                      dtype=np.uint32)
+            digits_big[-1] &= np.uint32(0x07FF)
+            want_big = [int(v) * r_inv % f.p for v in limbs.digits_to_ints_np(
+                digits_big[:, list(check_js)], f.params)]
+            dev_big = jnp.asarray(digits_big)
+            del digits_big
+            ms_big, coeffs_big = _median_ms(impls[best_name], dev_big)
+            w_big = f.params.primitive_root_of_unity(log_big)
+            pts_big = [pow(w_big, j, f.p) for j in check_js]
+            ok_big = _eval_at_points(f, coeffs_big, pts_big) == want_big
+            base_big = NTT_BASELINES_MS.get(log_big)
+            row_big = {
+                "metric": f"stark252_interpolate_2^{log_big}",
+                "value": round(ms_big, 2),
+                "unit": "ms",
+                "vs_baseline": (round(base_big / ms_big, 3)
+                                if base_big else None),
+                "check": "ok" if ok_big else "FAIL",
+                "engine": best_name,
+            }
+            _emit(row_big)
+            if ok_big:
+                headline = row_big
+            del dev_big, coeffs_big
+        except Exception as e:  # noqa: BLE001 — OOM/compile failure at the
+            _emit({"metric": f"stark252_interpolate_2^{log_big}",
+                   "error": repr(e)[:200]})  # big size must not kill config
+    else:
+        _emit({"metric": f"stark252_interpolate_2^{log_big}",
+               "skipped": True,
+               "reason": f"{_remaining():.0f}s suite remaining"})
+    return headline
 
 
 # ---------------------------------------------------------------------------
@@ -289,7 +332,7 @@ def bench_msm():
     # callable directly.
     from lambda_elliptic_curves_tpu.curves.msm import msm_pippenger
 
-    log_b = int(os.environ.get("BENCH_MSM_LOG", "18"))
+    log_b = int(os.environ.get("BENCH_MSM_LOG", "20"))
     B = 1 << log_b
     curve = BLS12381Curve
     ops = JacobianOps(curve)
@@ -657,9 +700,10 @@ def main():
         "pairing": (bench_pairing, 30),
         "micro": (bench_micro, 45),
     }
-    # r3 data point: the driver's outer timeout did NOT fire at 760s
-    # (rc=0), so 720s of scheduled work + emission overhead is safe
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "720"))
+    # r3/r4 data points: the driver's outer timeout did NOT fire at 760s
+    # or 1248s (rc=0 both), so 900s of scheduled work + emission overhead
+    # is safe and leaves room for the 2^24 headline's cold compile
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     t_start = time.perf_counter()
     _deadline[0] = t_start + budget_s
     cache_dir = getattr(jax.config, "jax_compilation_cache_dir", None)
@@ -671,13 +715,18 @@ def main():
            "budget_s": budget_s, "cache_entries": n_cached})
     results = []
     headline = None
-    for name in wanted:
-        fn, min_s = configs.get(name.strip(), (None, 0))
-        if fn is None:
-            continue
-        if headline is not None and _remaining() < min_s:
-            row = {"metric": name.strip(), "skipped": True,
-                   "reason": f"{_remaining():.0f}s left < {min_s}s min"}
+    names = [n.strip() for n in wanted if configs.get(n.strip())]
+    for pos, name in enumerate(names):
+        fn, min_s = configs[name]
+        # r4 regression: one config (msm) overran by 500 s and the naive
+        # `remaining < min_s` check then skipped EVERY later config.  The
+        # reserve is the sum of the minimum spends of the configs still
+        # queued — a config only starts if the ones behind it keep theirs.
+        reserve = sum(configs[m][1] for m in names[pos + 1:])
+        if headline is not None and _remaining() < min_s + reserve:
+            row = {"metric": name, "skipped": True,
+                   "reason": (f"{_remaining():.0f}s left < {min_s}s min "
+                              f"+ {reserve}s reserve")}
             results.append(row)
             _emit(row)
             continue

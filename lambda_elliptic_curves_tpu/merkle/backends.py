@@ -125,6 +125,10 @@ class KeccakFieldBackend(MerkleBackend):
     """Keccak256 over canonical big-endian element bytes; nodes are 32-byte
     digests (device form: (8, B) uint32 LE words)."""
 
+    # sponge rounds are cheap elementwise ops: the whole level chain fuses
+    # into one compact jitted program (tree.py _fused_device_levels)
+    fuse_tree_levels = True
+
     def __init__(self, field: PrimeField):
         self.field = field
 
@@ -231,6 +235,8 @@ class DigestFieldBackend(MerkleBackend):
     device call (keccak-family via the shared sponge, SHA-2 via
     :mod:`..hashes.sha2`).
     """
+
+    fuse_tree_levels = True  # sponge/SHA rounds fuse compactly (tree.py)
 
     def __init__(self, field: PrimeField, algo: str = "keccak256"):
         self.field = field

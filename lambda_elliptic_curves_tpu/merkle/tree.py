@@ -118,6 +118,55 @@ def _device_levels(backend: MerkleBackend, hashed):
     return levels
 
 
+_fused_levels_cache: dict = {}
+
+# levels at or below this node count fuse into one "tree top" program;
+# bigger levels run as per-shape cached dispatches.  The cap bounds
+# compile cost: every tree with >= _FUSE_CAP leaves shares ONE top
+# program (plus a handful of per-level programs whose shapes repeat
+# across trees), where fusing whole trees compiled a fresh multi-minute
+# program per distinct leaf count (15 FRI layers = 15 programs, measured
+# 986 s cold prove at 2^16).
+_FUSE_CAP = 8192
+
+
+def _fused_device_levels(backend: MerkleBackend, hashed):
+    """Parent levels with a bounded-compile fusion strategy: levels above
+    ``_FUSE_CAP`` nodes hash as individual cached dispatches (shapes
+    recur across trees and FRI layers, so each compiles once per
+    process), everything from the cap down to the root runs as ONE
+    jitted tree-top program shared by every tree that reaches the cap.
+    Dispatch latency still collapses (a 2^18-leaf tree is 6 dispatches +
+    1, vs 18), without the per-tree compile blowup of full fusion.
+
+    Only backends that opt in (``fuse_tree_levels = True``) take this
+    path: cheap-permutation digests (keccak/sha) fuse into a compact
+    program, while wide-round-count permutations (Poseidon hades) made
+    whole-tree programs multi-minute compiles (round-3 regression)."""
+    step = _parent_step(backend)
+    levels = [hashed]
+    while backend.count(levels[-1]) > _FUSE_CAP:
+        levels.append(step(levels[-1]))
+    top = levels[-1]
+    if backend.count(top) == 1:
+        return levels
+    key = (type(backend), getattr(backend, "field", None),
+           getattr(backend, "cache_key", None), tuple(top.shape))
+    fn = _fused_levels_cache.get(key)
+    if fn is None:
+
+        def run(leaves, _b=backend):
+            out = []
+            cur = leaves
+            while _b.count(cur) > 1:
+                cur = _b.hash_parents(cur)
+                out.append(cur)
+            return tuple(out)
+
+        fn = _fused_levels_cache[key] = jax.jit(run)
+    return levels + list(fn(top))
+
+
 class MerkleTree:
     """levels[0] = leaf hashes, levels[-1] = [root].
 
@@ -158,15 +207,28 @@ class MerkleTree:
     def from_leaf_digests(cls, backend: MerkleBackend, hashed):
         """Build from already-hashed leaves (a device digest array) — the
         entry point for fused pipelines that hash leaves inside a larger
-        jitted program (e.g. the FRI layer step)."""
+        jitted program (e.g. the FRI layer step).
+
+        Route choice is a transfer/dispatch trade: on accelerators the
+        fused device build costs ONE dispatch and keeps every level on
+        device (proofs later gather only the nodes they need), while the
+        native-C host build pays a full leaf-digest transfer (8 MB at
+        2^18) through a possibly-tunneled link.  On CPU the host build is
+        local and wins."""
         hashed = backend.pad_to_power_of_two(hashed)
-        host_builder = getattr(backend, "build_parents_host", None)
-        if host_builder is not None:
-            host_levels = host_builder(hashed)
-            if host_levels is not None:
-                return cls(backend, host_levels)
-        levels = _device_levels(backend, hashed)
-        return cls(backend, [LazyLevel(backend, lvl) for lvl in levels])
+        fuse = (getattr(backend, "fuse_tree_levels", False)
+                and jax.default_backend() != "cpu")
+        if not fuse:
+            host_builder = getattr(backend, "build_parents_host", None)
+            if host_builder is not None:
+                host_levels = host_builder(hashed)
+                if host_levels is not None:
+                    return cls(backend, host_levels)
+        levels = (_fused_device_levels(backend, hashed) if fuse
+                  else _device_levels(backend, hashed))
+        tree = cls(backend, [LazyLevel(backend, lvl) for lvl in levels])
+        tree._dev_levels = levels
+        return tree
 
     @property
     def root(self):
@@ -181,3 +243,52 @@ class MerkleTree:
             path.append(level[min(sibling, len(level) - 1)])
             idx //= 2
         return Proof(merkle_path=path)
+
+    # (backend type/config, level shapes, Q) -> jitted path gather
+    _gather_cache: dict = {}
+
+    def gather_proofs(self, positions) -> list:
+        """Sibling paths for MANY leaves with ONE device round trip.
+
+        For device-level trees, per-query host indexing through
+        :class:`LazyLevel` transfers every touched level in full (MBs per
+        tree over a tunneled link).  Here the sibling indices for all Q
+        queries are computed host-side, every level is gathered with one
+        ``jnp.take`` inside one jitted program, and the packed
+        (node_dims..., L*Q) result transfers once (kilobytes).  Falls back
+        to per-position walks for host-level trees."""
+        positions = [int(p) for p in positions]
+        dev_levels = getattr(self, "_dev_levels", None)
+        if dev_levels is None or len(dev_levels) <= 1:
+            return [self.get_proof_by_pos(p) for p in positions]
+        backend = self.backend
+        Q = len(positions)
+        idx_rows = []
+        idx = positions
+        for lvl in dev_levels[:-1]:
+            n = backend.count(lvl)
+            idx_rows.append(
+                np.asarray([min(i ^ 1, n - 1) for i in idx], np.int32))
+            idx = [i >> 1 for i in idx]
+        key = (type(backend), getattr(backend, "field", None),
+               getattr(backend, "cache_key", None),
+               tuple(tuple(lvl.shape) for lvl in dev_levels), Q)
+        fn = self._gather_cache.get(key)
+        if fn is None:
+
+            def run(levels, rows):
+                return jnp.concatenate(
+                    [jnp.take(lvl, r, axis=-1)
+                     for lvl, r in zip(levels, rows)], axis=-1)
+
+            fn = self._gather_cache[key] = jax.jit(run)
+        packed = fn(tuple(dev_levels[:-1]),
+                    tuple(jnp.asarray(r) for r in idx_rows))
+        mat = backend.level_to_np(packed)
+        L = len(dev_levels) - 1
+        return [
+            Proof(merkle_path=[
+                backend.node_from_np(mat, lvl * Q + q) for lvl in range(L)
+            ])
+            for q in range(Q)
+        ]

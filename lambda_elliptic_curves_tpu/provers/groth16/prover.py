@@ -41,6 +41,42 @@ class Proof:
         out += len(blob).to_bytes(4, "big") + blob
         return bytes(out)
 
+    @classmethod
+    def deserialize(cls, data: bytes, cfg=None) -> "Proof":
+        """Inverse of :meth:`serialize` (``prover.rs:29`` parity);
+        validates each point against its curve equation on construction."""
+        from ...utils.errors import DeserializationError
+
+        cfg = cfg or BLS12381Pairing
+        blobs = []
+        pos = 0
+        for _ in range(3):
+            if pos + 4 > len(data):
+                raise DeserializationError("groth16 proof truncated")
+            ln = int.from_bytes(data[pos: pos + 4], "big")
+            pos += 4
+            if pos + ln > len(data):
+                raise DeserializationError("groth16 proof truncated")
+            blobs.append(data[pos: pos + ln])
+            pos += ln
+        nb = cfg.g1_curve.field.params.num_bytes
+        g1_pts = []
+        for blob in blobs[:2]:
+            if len(blob) != 2 * nb:
+                raise DeserializationError("bad G1 length")
+            g1_pts.append(cfg.g1_curve.point(
+                int.from_bytes(blob[:nb], "big"),
+                int.from_bytes(blob[nb:], "big")))
+        blob = blobs[2]
+        if len(blob) != 4 * nb:
+            raise DeserializationError("bad G2 length")
+        comps = [int.from_bytes(blob[i * nb:(i + 1) * nb], "big")
+                 for i in range(4)]
+        fp2 = cfg.fp2
+        pi2 = AffinePoint(fp2, fp2((comps[0], comps[1])),
+                          fp2((comps[2], comps[3])))
+        return cls(pi1=g1_pts[0], pi2=pi2, pi3=g1_pts[1])
+
 
 def _msm_g1(cfg, scalars, points):
     nontrivial = [(s, p) for s, p in zip(scalars, points) if int(s)]
