@@ -47,6 +47,20 @@ def arkworks_to_lambda(field, matrices_json: str):
     n_wit = int(data["num_witness_variables"])
     n_vars = n_inst + n_wit
 
+    # arkworks' ConstraintMatrices carries redundant counts
+    # (num_constraints, {a,b,c}_num_non_zero) — validate them when the
+    # export includes them, so a mangled artifact fails loudly
+    if "num_constraints" in data:
+        for m in ("a", "b", "c"):
+            if len(data[m]) != int(data["num_constraints"]):
+                raise ValueError(f"matrix {m!r} row count != num_constraints")
+    for m in ("a", "b", "c"):
+        key = f"{m}_num_non_zero"
+        if key in data:
+            nnz = sum(len(row) for row in data[m])
+            if nnz != int(data[key]):
+                raise ValueError(f"{key} mismatch: {nnz}")
+
     def dense(sparse_rows):
         rows = []
         for row in sparse_rows:

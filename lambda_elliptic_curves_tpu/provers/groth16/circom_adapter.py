@@ -47,6 +47,131 @@ def circom_to_lambda(field, r1cs_json: str, witness_json: str):
     return qap, witness
 
 
+def parse_r1cs_bin(data: bytes) -> dict:
+    """Parse circom's BINARY ``.r1cs`` format (iden3 r1csfile spec v1 —
+    the artifact the circom compiler actually writes, beyond the JSON
+    export the reference adapter consumes).
+
+    Layout: magic ``r1cs`` | version u32 | nSections u32 | sections of
+    (type u32, size u64, payload).  Section 1 = header (n8 u32, prime n8
+    bytes LE, nWires u32, nPubOut u32, nPubIn u32, nPrvIn u32, nLabels
+    u64, mConstraints u32); section 2 = constraints, each three linear
+    combinations (nEntries u32, then (wireId u32, coeff n8 LE) pairs).
+
+    Returns the same dict shape the ``.r1cs.json`` path consumes, so
+    either artifact feeds :func:`circom_to_lambda`.
+    """
+    from ...utils.errors import DeserializationError
+
+    if data[:4] != b"r1cs":
+        raise DeserializationError("not an r1cs file (bad magic)")
+    version = int.from_bytes(data[4:8], "little")
+    if version != 1:
+        raise DeserializationError(f"unsupported r1cs version {version}")
+    n_sections = int.from_bytes(data[8:12], "little")
+    pos = 12
+    sections = {}
+    for _ in range(n_sections):
+        if pos + 12 > len(data):
+            raise DeserializationError("r1cs truncated (section header)")
+        stype = int.from_bytes(data[pos: pos + 4], "little")
+        size = int.from_bytes(data[pos + 4: pos + 12], "little")
+        pos += 12
+        if pos + size > len(data):
+            raise DeserializationError("r1cs truncated (section body)")
+        sections[stype] = data[pos: pos + size]
+        pos += size
+    if 1 not in sections or 2 not in sections:
+        raise DeserializationError("r1cs missing header/constraint section")
+
+    hdr = sections[1]
+    n8 = int.from_bytes(hdr[0:4], "little")
+    prime = int.from_bytes(hdr[4: 4 + n8], "little")
+    off = 4 + n8
+    n_wires = int.from_bytes(hdr[off: off + 4], "little")
+    n_pub_out = int.from_bytes(hdr[off + 4: off + 8], "little")
+    n_pub_in = int.from_bytes(hdr[off + 8: off + 12], "little")
+    n_prv_in = int.from_bytes(hdr[off + 12: off + 16], "little")
+    m_constraints = int.from_bytes(hdr[off + 24: off + 28], "little")
+
+    body = sections[2]
+    pos = 0
+    constraints = []
+    for _ in range(m_constraints):
+        parts = []
+        for _lc in range(3):
+            n_entries = int.from_bytes(body[pos: pos + 4], "little")
+            pos += 4
+            lc = {}
+            for _e in range(n_entries):
+                wire = int.from_bytes(body[pos: pos + 4], "little")
+                coeff = int.from_bytes(body[pos + 4: pos + 4 + n8], "little")
+                pos += 4 + n8
+                lc[str(wire)] = coeff
+            parts.append(lc)
+        constraints.append(parts)
+    if pos != len(body):
+        raise DeserializationError("r1cs constraint section length mismatch")
+
+    return {
+        "prime": prime,
+        "nVars": n_wires,
+        "nConstraints": m_constraints,
+        "nOutputs": n_pub_out,
+        "nPubInputs": n_pub_in,
+        "nPrvInputs": n_prv_in,
+        "constraints": constraints,
+    }
+
+
+def parse_wtns_bin(data: bytes) -> list:
+    """Parse circom/snarkjs BINARY ``.wtns`` witness files: magic
+    ``wtns`` | version u32 | nSections u32; section 1 = header (n8 u32,
+    prime n8 LE, nWitness u32), section 2 = nWitness values of n8 LE
+    bytes.  Returns the witness as a list of ints."""
+    from ...utils.errors import DeserializationError
+
+    if data[:4] != b"wtns":
+        raise DeserializationError("not a wtns file (bad magic)")
+    n_sections = int.from_bytes(data[8:12], "little")
+    pos = 12
+    sections = {}
+    for _ in range(n_sections):
+        stype = int.from_bytes(data[pos: pos + 4], "little")
+        size = int.from_bytes(data[pos + 4: pos + 12], "little")
+        pos += 12
+        sections[stype] = data[pos: pos + size]
+        pos += size
+    if 1 not in sections or 2 not in sections:
+        raise DeserializationError("wtns missing header/data section")
+    hdr = sections[1]
+    n8 = int.from_bytes(hdr[0:4], "little")
+    n_wit = int.from_bytes(hdr[4 + n8: 8 + n8], "little")
+    body = sections[2]
+    if len(body) != n8 * n_wit:
+        raise DeserializationError("wtns data section length mismatch")
+    return [int.from_bytes(body[i * n8:(i + 1) * n8], "little")
+            for i in range(n_wit)]
+
+
+def circom_bin_to_lambda(field, r1cs_bytes: bytes, wtns_bytes: bytes):
+    """Binary-artifact entry: ``.r1cs`` + ``.wtns`` files straight from
+    the circom/snarkjs toolchain -> (QAP, witness).  Validates that both
+    artifacts were produced over ``field``'s modulus."""
+    from ...utils.errors import DeserializationError
+
+    r1cs = parse_r1cs_bin(r1cs_bytes)
+    if r1cs["prime"] != field.p:
+        raise DeserializationError(
+            f"r1cs prime {hex(r1cs['prime'])} != field modulus")
+    witness = parse_wtns_bin(wtns_bytes)
+    import json
+
+    return circom_to_lambda(field, json.dumps(
+        {k: v for k, v in r1cs.items() if k != "prime"}),
+        json.dumps(witness))
+
+
 def from_variable_matrices(field, num_public_inputs, l, r, o):
     """Variable-major matrices -> QAP (``qap.rs:from_variable_matrices``)."""
     num_gates = len(l[0])

@@ -87,6 +87,89 @@ class _AdapterConstraint(TransitionConstraint):
         return value.raw if isinstance(value, _CtxValue) else value
 
 
+class FeltTranscript:
+    """Winterfell-field transcript — mirror of ``FeltTranscript``
+    (``winterfell_adapter/src/adapter/mod.rs:10``): incremental Keccak256
+    state; field samples draw the FIRST 8 state bytes as a big-endian u64
+    with rejection-resampling (appending the rejected bytes) until the
+    draw lands below the Goldilocks modulus; ``sample_u64`` reduces the
+    same 8 bytes mod the bound WITHOUT mutating the state."""
+
+    def __init__(self, init_bytes: bytes = b"", field=None):
+        from ...fields.winterfell_compat import WinterfellFelt
+
+        self.field = field or WinterfellFelt
+        self._buffer = b""
+        if init_bytes:
+            self.append_bytes(init_bytes)
+
+    def append_bytes(self, new_bytes: bytes):
+        self._buffer += bytes(new_bytes)
+
+    def append_field_element(self, element):
+        value = element.value if hasattr(element, "value") else int(element)
+        self.append_bytes(int(value).to_bytes(8, "big"))
+
+    def state(self) -> bytes:
+        from ...hashes.keccak import keccak256
+
+        return keccak256(self._buffer)
+
+    def sample_field_element(self):
+        while True:
+            chunk = self.state()[:8]
+            x = int.from_bytes(chunk, "big")
+            if x < self.field.p:
+                return self.field(x)
+            self.append_bytes(chunk)
+
+    def sample_u64(self, upper_bound: int) -> int:
+        return int.from_bytes(self.state()[:8], "big") % int(upper_bound)
+
+    def sample_z_ood(self, lde_coset_offset, lde_size: int,
+                     trace_root_order: int):
+        while True:
+            z = self.sample_field_element()
+            if ((z ** lde_size) != self.field(lde_coset_offset) ** lde_size
+                    and (z ** (1 << trace_root_order)) != self.field(1)):
+                return z
+
+
+class QuadFeltTranscript(FeltTranscript):
+    """Quadratic-extension transcript — mirror of ``QuadFeltTranscript``
+    (``adapter/mod.rs:53``): delegates byte state to the Felt transcript;
+    a field sample is TWO base samples combined as x + y*phi, and appends
+    write both components big-endian."""
+
+    def __init__(self, init_bytes: bytes = b""):
+        from ...fields.winterfell_compat import QuadFelt
+
+        super().__init__(init_bytes)
+        self.quad = QuadFelt
+
+    def append_field_element(self, element):
+        value = element.value if hasattr(element, "value") else element
+        if isinstance(value, tuple):
+            for c in value:
+                self.append_bytes(int(c).to_bytes(8, "big"))
+        else:
+            self.append_bytes(int(value).to_bytes(8, "big"))
+
+    def sample_field_element(self):
+        x = super().sample_field_element()
+        y = super().sample_field_element()
+        return self.quad((x.value, y.value))
+
+
+def trace_from_columns(field, columns, step_size: int = 1):
+    """``FromColumns`` role (``adapter/air.rs:19``): foreign column
+    vectors (lists of ints or value-carrying elements) -> a native
+    :class:`TraceTable`, ready for the platinum prover."""
+    from .trace import TraceTable
+
+    return TraceTable.from_columns(field, columns, step_size=step_size)
+
+
 class AirAdapter(AIR):
     """Wraps a foreign AIR object (``winterfell_adapter/src/adapter/air.rs:30``
     role)."""
